@@ -1,0 +1,134 @@
+"""Dense CenterNet pose decoding — fully on-device.
+
+Parity target: ``CenterHead.predict`` + ``post_processing``
+(``det3d/models/pose_heads/center_head.py:272-360`` in ipl-uw/RT-POSE).
+
+The reference decodes by materializing a (B, Z*Y*X, 3*K) tensor of world
+coordinates for every voxel and then argmax-ing the heatmap per sample on the
+host.  On TPU we keep the math identical but restructure it: take the heatmap
+argmax *first* (a cheap reduction) and evaluate the world-coordinate transform
+only at the winning voxels — same results, ~45x less memory traffic, and the
+whole thing jits (no host round-trip until the final tiny (K, 5) arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .targets import NUM_JOINTS
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeSpec:
+    """Static subset of the reference ``test_cfg`` used by decoding."""
+
+    grid_zyx: Tuple[int, int, int]
+    pc_range_min_xyz: Tuple[float, float, float]
+    voxel_size_xyz: Tuple[float, float, float]
+    out_size_factor_zyx: Tuple[int, int, int] = (1, 1, 1)
+    score_threshold: float = 0.0
+
+
+def _voxel_to_world(vox_xyz: jnp.ndarray, spec: DecodeSpec) -> jnp.ndarray:
+    """(..., 3) continuous voxel coords (x, y, z) -> world meters.
+
+    Matches center_head.py:308-310: ``x = vx * osf_x * sx + xmin`` etc.
+    """
+    xmin, ymin, zmin = spec.pc_range_min_xyz
+    sx, sy, sz = spec.voxel_size_xyz
+    fz, fy, fx = spec.out_size_factor_zyx
+    scale = jnp.asarray([sx * fx, sy * fy, sz * fz], jnp.float32)
+    offset = jnp.asarray([xmin, ymin, zmin], jnp.float32)
+    return vox_xyz * scale + offset
+
+
+def decode_pose_preds(hm_logits: jnp.ndarray, reg: jnp.ndarray, spec: DecodeSpec):
+    """Decode one task's dense predictions to world-space keypoints.
+
+    Args:
+      hm_logits: (B, Z, Y, X, C) raw heatmap logits (channels-last).
+      reg: (B, Z, Y, X, 3*K) regression output; K == 15 for the one-heatmap
+        head ('reg': (45, 2)), K == 1 for the per-joint head ('reg': (3, 2)).
+      spec: static decode config.
+
+    Returns:
+      keypoints: (B, J, 3) float32 world xyz, J == 15, joint order 0..14.
+      scores: (B, J) float32 peak scores (per-joint for K == 1; the pelvis
+        center score broadcast to all joints for K == 15 — reference
+        center_head.py:349-355).
+      labels: (B, J) int32 joint ids.
+    """
+    B, Z, Y, X, C = hm_logits.shape
+    K = reg.shape[-1] // 3
+    hm = jax.nn.sigmoid(hm_logits.astype(jnp.float32)).reshape(B, Z * Y * X, C)
+    reg = reg.astype(jnp.float32).reshape(B, Z * Y * X, 3 * K)
+
+    # argmax over the flat voxel axis per class: (B, C)
+    flat_ind = jnp.argmax(hm, axis=1)
+    scores_pk = jnp.take_along_axis(hm, flat_ind[:, None, :], axis=1)[:, 0, :]  # (B, C)
+
+    # flat index -> integer voxel (z, y, x); flat ordering is z*(Y*X)+y*X+x.
+    def ind_to_vox_xyz(ind):
+        z = ind // (Y * X)
+        rem = ind % (Y * X)
+        y = rem // X
+        x = rem % X
+        return jnp.stack([x, y, z], axis=-1).astype(jnp.float32)  # (..., 3) xyz
+
+    if K == 1:
+        # per-joint heads: C == 15 classes, each with its own peak + 3-dim reg.
+        base = ind_to_vox_xyz(flat_ind)                       # (B, C, 3)
+        off = jnp.take_along_axis(reg[:, :, None, :], flat_ind[:, None, :, None],
+                                  axis=1)[:, 0]               # (B, C, 3)
+        kpts = _voxel_to_world(base + off, spec)              # (B, C, 3)
+        scores = scores_pk                                    # (B, C)
+        labels = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (B, C))
+        return kpts, scores, labels
+
+    # one-heatmap head: C == 1, reg carries all 15 joints' offsets from the
+    # *peak voxel* (anno_pose semantics, pose.py:443).
+    ind0 = flat_ind[:, 0]                                     # (B,)
+    base = ind_to_vox_xyz(ind0)                               # (B, 3)
+    off = jnp.take_along_axis(reg, ind0[:, None, None], axis=1)[:, 0]  # (B, 3K)
+    off = off.reshape(B, K, 3)
+    kpts = _voxel_to_world(base[:, None, :] + off, spec)      # (B, K, 3)
+    scores = jnp.broadcast_to(scores_pk[:, :1], (B, K))       # center score for all
+    labels = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+    return kpts, scores, labels
+
+
+def post_process_pose(kpts, scores, labels, spec: DecodeSpec, metas=None,
+                      one_hm: bool = True):
+    """Convert decoded device arrays into the reference's per-sample keypoint
+    lists ``[(joint_id, x, y, z, score), ...]`` (center_head.py:333-360).
+
+    Threshold semantics: with the one-heatmap head, joints 1..14 are always
+    emitted and joint 0 (pelvis) only when its score exceeds the threshold;
+    with per-joint heads each joint is emitted only above threshold.  The
+    flagship configs use ``score_threshold=0.0`` with sigmoid scores, so in
+    practice everything is emitted.
+    """
+    import numpy as np
+
+    kpts = np.asarray(kpts)
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    B, J = scores.shape
+    out = []
+    for b in range(B):
+        pts = []
+        for j in range(J):
+            sc = float(scores[b, j])
+            keep = sc > spec.score_threshold or (one_hm and j > 0)
+            if keep:
+                pts.append((int(labels[b, j]), float(kpts[b, j, 0]),
+                            float(kpts[b, j, 1]), float(kpts[b, j, 2]), sc))
+        ret = {"keypoints": pts}
+        if metas is not None:
+            ret["metadata"] = metas[b]
+        out.append(ret)
+    return out
