@@ -1,0 +1,138 @@
+"""CenterPoint/CenterNet-style pose head (flax.linen, channels-last).
+
+Parity with the reference ``det3d/models/pose_heads/center_head.py``:
+
+* optional shared conv (GN8 + 3x3x3 conv + ReLU) when the backbone output
+  width differs from ``share_conv_channel`` (lines 203-211);
+* per-task ``SepHead``: each named head ('reg', 'hm', ...) is a small conv
+  tower — (num_conv-1) x [3x3x3 conv(head_conv) + ReLU] then a final 3x3x3
+  conv to the target width; the heatmap head's final bias initializes to
+  ``init_bias`` = -2.19 (lines 66-109);
+* ``loss`` = FastFocalLoss(clamped sigmoid hm) + weight * sum(code_weights *
+  per-dim masked-L1) (lines 244-270);
+* ``predict`` = dense decode + per-sample argmax post-processing — see
+  ``rtpose_tpu.core.decode`` (lines 272-360).
+
+The deformable-conv head variant (DCNSepHead) lives in
+``rtpose_tpu.models.dcn_head`` and is selected with ``dcn_head=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..registry import HEADS
+from .layers import conv3d, group_norm
+from .losses import clamped_sigmoid, fast_focal_loss, reg_loss
+
+
+class SepHead(nn.Module):
+    """Separate conv tower per named output head."""
+
+    heads: Dict[str, Tuple[int, int]]      # name -> (out_channels, num_conv)
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for head, (classes, num_conv) in self.heads.items():
+            h = x
+            for i in range(num_conv - 1):
+                h = conv3d(self.head_conv, kernel=self.final_kernel,
+                           name=f"{head}_conv{i}")(h)
+                h = nn.relu(h)
+            bias_init = (nn.initializers.constant(self.init_bias)
+                         if "hm" in head else nn.initializers.zeros_init())
+            h = nn.Conv(classes, kernel_size=(self.final_kernel,) * 3,
+                        padding=((self.final_kernel // 2,) * 2,) * 3,
+                        use_bias=True, bias_init=bias_init,
+                        kernel_init=nn.initializers.he_normal(),
+                        name=f"{head}_out")(h)
+            out[head] = h
+        return out
+
+
+@HEADS.register_module
+class CenterHead(nn.Module):
+    """Multi-task center head."""
+
+    tasks: Sequence[dict]                  # [{'num_class': n, 'class_names': [...]}]
+    in_channels: int = 128
+    share_conv_channel: int = 64
+    common_heads: Dict[str, Tuple[int, int]] = None
+    weight: float = 0.1                    # hm-loss vs loc-loss balance
+    code_weights: Sequence[float] = ()
+    init_bias: float = -2.19
+    num_hm_conv: int = 2
+    dataset: str = "cruw_pose"
+    dcn_head: bool = False
+
+    @property
+    def num_classes(self) -> List[int]:
+        return [len(t["class_names"]) for t in self.tasks]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+        if self.in_channels != self.share_conv_channel:
+            h = group_norm(x.shape[-1], name="shared_gn")(x)
+            h = conv3d(self.share_conv_channel, kernel=3, bias=False,
+                       name="shared_conv")(h)
+            x = nn.relu(h)
+        ret = []
+        for ti, num_cls in enumerate(self.num_classes):
+            heads = dict(self.common_heads or {})
+            if self.dcn_head:
+                from .dcn_head import DCNSepHead
+                ret.append(DCNSepHead(num_cls=num_cls, heads=heads,
+                                      head_conv=32, init_bias=self.init_bias,
+                                      name=f"task{ti}")(x))
+            else:
+                heads["hm"] = (num_cls, self.num_hm_conv)
+                ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,
+                                   init_bias=self.init_bias, name=f"task{ti}")(x))
+        return ret
+
+    # ---- loss / predict are pure functions of the module outputs ----
+
+    def loss(self, example: Dict[str, Any], preds_dicts: List[Dict[str, jnp.ndarray]]):
+        """Compute per-task losses.
+
+        ``example`` carries per-task lists: hm (B,Z,Y,X,C), anno_pose (B,M,D),
+        ind (B,M), mask (B,M), cat (B,M)  (channels-last).
+        """
+        code_w = jnp.asarray(self.code_weights, jnp.float32)
+        rets = []
+        for task_id, preds in enumerate(preds_dicts):
+            hm = clamped_sigmoid(preds["hm"].astype(jnp.float32))
+            hm_loss = fast_focal_loss(hm, example["hm"][task_id],
+                                      example["ind"][task_id],
+                                      example["mask"][task_id],
+                                      example["cat"][task_id])
+            rl = reg_loss(preds["reg"].astype(jnp.float32),
+                          example["mask"][task_id],
+                          example["ind"][task_id],
+                          example["anno_pose"][task_id])
+            loc_loss = jnp.sum(rl * code_w)
+            loss = hm_loss + self.weight * loc_loss
+            rets.append(dict(loss=loss, hm_loss=hm_loss, loc_loss=loc_loss,
+                             loc_loss_elem=rl,
+                             num_positive=jnp.sum(example["mask"][task_id].astype(jnp.float32))))
+        merged: Dict[str, list] = {}
+        for r in rets:
+            for k, v in r.items():
+                merged.setdefault(k, []).append(v)
+        return merged
+
+    def predict(self, preds_dicts: List[Dict[str, jnp.ndarray]], decode_spec):
+        """Decode each task's dense output; returns per-task (kpts, scores,
+        labels) device arrays (host formatting happens in the engine)."""
+        from ..core.decode import decode_pose_preds
+        out = []
+        for preds in preds_dicts:
+            out.append(decode_pose_preds(preds["hm"], preds["reg"], decode_spec))
+        return out

@@ -1,0 +1,66 @@
+"""Trilinear resize with PyTorch ``align_corners=True`` semantics.
+
+The HRNet fuse layers and the final multi-branch fuse upsample low-resolution
+branches with ``F.interpolate(mode='trilinear', align_corners=True)``
+(reference hr3d.py:219-224, hrnet3d.py:39).  ``jax.image.resize`` implements
+half-pixel (align_corners=False) sampling, so it canNOT be used for parity.
+
+TPU-first formulation: 1-D linear interpolation along one axis is a linear
+map ``out = W @ in`` with a static (S_out, S_in) matrix; a full 3-D resize is
+three consecutive single-axis contractions.  On TPU these lower to MXU
+matmuls instead of gather chains — both exact and fast.  Matrices are built
+at trace time from static shapes and folded into the compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_np(s_in: int, s_out: int) -> np.ndarray:
+    """(S_out, S_in) align-corners linear interpolation matrix."""
+    w = np.zeros((s_out, s_in), dtype=np.float32)
+    if s_out == 1 or s_in == 1:
+        # degenerate: sample position 0 (align_corners maps everything to 0)
+        w[:, 0] = 1.0
+        return w
+    scale = (s_in - 1) / (s_out - 1)
+    pos = np.arange(s_out, dtype=np.float64) * scale
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, s_in - 2)
+    frac = (pos - lo).astype(np.float32)
+    w[np.arange(s_out), lo] = 1.0 - frac
+    w[np.arange(s_out), lo + 1] = frac
+    return w
+
+
+def interp_matrix(s_in: int, s_out: int) -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(s_in, s_out))
+
+
+def resize_trilinear_align_corners(x: jnp.ndarray, size_zyx: tuple[int, int, int]) -> jnp.ndarray:
+    """Resize (B, Z, Y, X, C) -> (B, *size_zyx, C), align_corners=True.
+
+    Bit-matches torch ``F.interpolate(x, size, mode='trilinear',
+    align_corners=True)`` up to float accumulation order.
+    """
+    B, Z, Y, X, C = x.shape
+    tz, ty, tx = size_zyx
+    dt = x.dtype
+    if (Z, Y, X) == (tz, ty, tx):
+        return x
+    out = x
+    if Z != tz:
+        wz = interp_matrix(Z, tz).astype(dt)
+        out = jnp.einsum("oz,bzyxc->boyxc", wz, out)
+    if Y != ty:
+        wy = interp_matrix(Y, ty).astype(dt)
+        out = jnp.einsum("oy,bzyxc->bzoxc", wy, out)
+    if X != tx:
+        wx = interp_matrix(X, tx).astype(dt)
+        out = jnp.einsum("ox,bzyxc->bzyoc", wx, out)
+    return out
