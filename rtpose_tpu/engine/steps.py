@@ -1,0 +1,115 @@
+"""Jitted train / eval steps.
+
+The TPU-first counterpart of the reference's Trainer hot loop
+(``det3d/torchie/trainer/trainer.py:370-434``): device transfer, target
+assignment, forward, loss, backward, gradient clipping, optimizer step and
+the NaN-loss skip guard (``hooks/optimizer.py:15-17``) all fuse into ONE
+XLA-compiled function of ``(state, batch) -> (state, metrics)``.
+
+Batches are dicts of fixed-shape arrays:
+  rdr_tensor: (B, Z, Y, X, C) float32 radar cube (channels-last)
+  poses:      (B, max_poses, 15, 3) float32 world keypoints
+  num_poses:  (B,) int32
+Targets are assigned on-device from ``poses`` (vmapped
+``core.targets.assign_pose_targets``); precomputed host targets (the
+reference pipeline path) are used instead when the batch already carries
+'hm'/'ind'/'mask'/'cat'/'anno_pose'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.targets import PoseTargetSpec, assign_pose_targets
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray                      # int32 global step
+
+
+def create_train_state(model, optimizer, example_input, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    params = model.init(rng, example_input)
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def targets_from_batch(batch: Dict[str, jnp.ndarray], spec: PoseTargetSpec):
+    """Per-task target lists, assigned on-device unless precomputed."""
+    if "hm" in batch:
+        return {k: batch[k] for k in ("hm", "ind", "mask", "cat", "anno_pose")}
+    t = jax.vmap(lambda p, n: assign_pose_targets(p, n, spec))(
+        batch["poses"], batch["num_poses"])
+    # (B, C, Z, Y, X) -> channels-last (B, Z, Y, X, C)
+    hm = jnp.transpose(t["hm"], (0, 2, 3, 4, 1))
+    return dict(hm=[hm], ind=[t["ind"]], mask=[t["mask"]], cat=[t["cat"]],
+                anno_pose=[t["anno_pose"]])
+
+
+def make_train_step(model, head, spec: PoseTargetSpec,
+                    optimizer: optax.GradientTransformation,
+                    lr_fn: Optional[Callable] = None,
+                    input_key: str = "rdr_tensor") -> Callable:
+    """Build the fused train step.
+
+    ``head`` is the (unbound) CenterHead module — its ``loss`` uses only
+    static fields so it can be called outside ``apply``.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        example = targets_from_batch(batch, spec)
+
+        def loss_fn(params):
+            preds = model.apply(params, batch[input_key])
+            losses = head.loss(example, preds)
+            total = jnp.sum(jnp.stack(losses["loss"]))
+            return total, losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN/Inf loss guard: skip the whole step (hooks/optimizer.py:15-17)
+        finite = jnp.isfinite(loss)
+        new_params = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                  new_params, state.params)
+        new_opt_state = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                     new_opt_state, state.opt_state)
+
+        metrics = dict(
+            loss=loss,
+            hm_loss=jnp.stack(losses["hm_loss"]).sum(),
+            loc_loss=jnp.stack(losses["loc_loss"]).sum(),
+            num_positive=jnp.stack(losses["num_positive"]).sum(),
+            grad_norm=optax.global_norm(grads),
+            skipped=(~finite).astype(jnp.float32),
+        )
+        # per-coordinate reg losses (reference logs all 45: trainer.py:70-89)
+        metrics["loc_loss_elem"] = losses["loc_loss_elem"][0]
+        if lr_fn is not None:
+            metrics["lr"] = lr_fn(state.step)
+
+        return TrainState(params=new_params, opt_state=new_opt_state,
+                          step=state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor") -> Callable:
+    """Forward + on-device decode; returns per-task (kpts, scores, labels)."""
+
+    def eval_step(params, batch):
+        preds = model.apply(params, batch[input_key])
+        return head.predict(preds, decode_spec)
+
+    return eval_step

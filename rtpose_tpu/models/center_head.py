@@ -36,6 +36,7 @@ class SepHead(nn.Module):
     head_conv: int = 64
     final_kernel: int = 3
     init_bias: float = -2.19
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -44,15 +45,19 @@ class SepHead(nn.Module):
             h = x
             for i in range(num_conv - 1):
                 h = conv3d(self.head_conv, kernel=self.final_kernel,
-                           name=f"{head}_conv{i}")(h)
+                           name=f"{head}_conv{i}", dtype=self.dtype)(h)
                 h = nn.relu(h)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if "hm" in head else nn.initializers.zeros_init())
+            # final projection always runs in f32: heatmap logits feed a
+            # clamped sigmoid + log and regression feeds an L1 — bf16 tails
+            # there cost accuracy for no measurable speed.
             h = nn.Conv(classes, kernel_size=(self.final_kernel,) * 3,
                         padding=((self.final_kernel // 2,) * 2,) * 3,
                         use_bias=True, bias_init=bias_init,
                         kernel_init=nn.initializers.he_normal(),
-                        name=f"{head}_out")(h)
+                        dtype=jnp.float32,
+                        name=f"{head}_out")(h.astype(jnp.float32))
             out[head] = h
         return out
 
@@ -71,6 +76,7 @@ class CenterHead(nn.Module):
     num_hm_conv: int = 2
     dataset: str = "cruw_pose"
     dcn_head: bool = False
+    dtype: Any = None
 
     @property
     def num_classes(self) -> List[int]:
@@ -81,7 +87,7 @@ class CenterHead(nn.Module):
         if self.in_channels != self.share_conv_channel:
             h = group_norm(x.shape[-1], name="shared_gn")(x)
             h = conv3d(self.share_conv_channel, kernel=3, bias=False,
-                       name="shared_conv")(h)
+                       name="shared_conv", dtype=self.dtype)(h)
             x = nn.relu(h)
         ret = []
         for ti, num_cls in enumerate(self.num_classes):
@@ -94,7 +100,8 @@ class CenterHead(nn.Module):
             else:
                 heads["hm"] = (num_cls, self.num_hm_conv)
                 ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,
-                                   init_bias=self.init_bias, name=f"task{ti}")(x))
+                                   init_bias=self.init_bias, name=f"task{ti}",
+                                   dtype=self.dtype)(x))
         return ret
 
     # ---- loss / predict are pure functions of the module outputs ----

@@ -19,6 +19,8 @@ from typing import Any, Dict, List, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+Dtype = Any
+
 from ..ops.interpolate import resize_trilinear_align_corners
 from ..registry import BACKBONES
 from .layers import GNConv, ResNetBlock, conv3d
@@ -76,6 +78,7 @@ class HighResolutionModule(nn.Module):
     num_blocks: Sequence[int]
     num_channels: Sequence[int]          # == num_inchannels (expansion 1)
     multi_scale_output: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: List[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -84,7 +87,8 @@ class HighResolutionModule(nn.Module):
         if nb == 1:
             out = x[0]
             for b in range(self.num_blocks[0]):
-                out = ResNetBlock(chans[0], name=f"branch0_block{b}")(out)
+                out = ResNetBlock(chans[0], name=f"branch0_block{b}",
+                                  dtype=self.dtype)(out)
             return [out]
 
         # branches
@@ -92,7 +96,8 @@ class HighResolutionModule(nn.Module):
         for i in range(nb):
             h = x[i]
             for b in range(self.num_blocks[i]):
-                h = ResNetBlock(chans[i], name=f"branch{i}_block{b}")(h)
+                h = ResNetBlock(chans[i], name=f"branch{i}_block{b}",
+                                dtype=self.dtype)(h)
             feats.append(h)
 
         # fuse
@@ -108,7 +113,8 @@ class HighResolutionModule(nn.Module):
                 if j == i:
                     y = y + feats[j]
                 elif j > i:
-                    up = GNConv(chans[i], kernel=1, name=f"fuse{i}_{j}")(feats[j])
+                    up = GNConv(chans[i], kernel=1, name=f"fuse{i}_{j}",
+                                dtype=self.dtype)(feats[j])
                     y = y + resize_trilinear_align_corners(up, feats[i].shape[1:4])
                 else:
                     y = y + self._down_chain(feats[j], j, i, chans)
@@ -121,7 +127,8 @@ class HighResolutionModule(nn.Module):
         for k in range(i - j):
             last = k == i - j - 1
             h = GNConv(chans[i] if last else chans[j], kernel=3, stride=2,
-                       relu=not last, name=f"fuse{i}_{j}_k{k}")(h)
+                       relu=not last, name=f"fuse{i}_{j}_k{k}",
+                       dtype=self.dtype)(h)
         return h
 
 
@@ -129,6 +136,7 @@ class HighResolution3DNet(nn.Module):
     """The staged HRNet trunk (hr3d.py:234-399)."""
 
     cfg: Dict[str, Any]
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -136,7 +144,7 @@ class HighResolution3DNet(nn.Module):
         stage2 = cfg["stage2"]
 
         # layer1: full-res stem block lifting input channels to stage2 inplanes
-        x = ResNetBlock(cfg["stage2_inplanes"], name="layer1")(x)
+        x = ResNetBlock(cfg["stage2_inplanes"], name="layer1", dtype=self.dtype)(x)
 
         # ---- transition1 + stage2
         x_list = self._transition([cfg["stage2_inplanes"]],
@@ -168,6 +176,7 @@ class HighResolution3DNet(nn.Module):
                 num_blocks=scfg["num_blocks"],
                 num_channels=scfg["num_channels"],
                 name=f"{name}_m{m}",
+                dtype=self.dtype,
             )(x_list)
         return x_list
 
@@ -185,7 +194,7 @@ class HighResolution3DNet(nn.Module):
                 if cur_ch[i] != pre_ch[i]:
                     src = y_list[0] if from_single else y_list[-1]
                     out.append(GNConv(cur_ch[i], kernel=3, stride=1, relu=True,
-                                      name=f"{name}_b{i}")(src))
+                                      name=f"{name}_b{i}", dtype=self.dtype)(src))
                 else:
                     out.append(y_list[0] if from_single else y_list[i])
             else:
@@ -193,7 +202,7 @@ class HighResolution3DNet(nn.Module):
                 for j in range(i + 1 - n_pre):
                     outc = cur_ch[i] if j == i - n_pre else pre_ch[-1]
                     h = GNConv(outc, kernel=3, stride=2, relu=True,
-                               name=f"{name}_b{i}_j{j}")(h)
+                               name=f"{name}_b{i}_j{j}", dtype=self.dtype)(h)
                 out.append(h)
         return out
 
@@ -216,19 +225,27 @@ class HRNet3D(nn.Module):
     final_fuse: str = "conat_conv"
     ds_factor: int = 1
     feat_transform: Optional[dict] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .layers import canonical_dtype
+        dtype = canonical_dtype(self.dtype)
+        if dtype is not None:
+            x = x.astype(dtype)
         cfg = MODEL_CONFIGS[self.backbone_cfg]
-        feats = HighResolution3DNet(cfg, name="backbone")(x)
+        feats = HighResolution3DNet(cfg, name="backbone", dtype=dtype)(x)
         top = feats[0]
         if self.final_fuse == "top":
             out = top
             if self.final_conv_in != self.final_conv_out:
-                out = conv3d(self.final_conv_out, kernel=1, name="final_conv")(out)
+                out = conv3d(self.final_conv_out, kernel=1, name="final_conv",
+                             dtype=dtype)(out)
             return out
-        ups = [resize_trilinear_align_corners(f, top.shape[1:4]) for f in feats[1:]]
+        ups = [resize_trilinear_align_corners(f.astype(top.dtype), top.shape[1:4])
+               for f in feats[1:]]
         out = jnp.concatenate([top, *ups], axis=-1)
         if self.final_fuse == "conat_conv" and self.final_conv_in != self.final_conv_out:
-            out = conv3d(self.final_conv_out, kernel=1, name="final_conv")(out)
+            out = conv3d(self.final_conv_out, kernel=1, name="final_conv",
+                         dtype=dtype)(out)
         return out

@@ -16,29 +16,43 @@ differently for even sizes).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+Dtype = Any
 
 # torch-equivalent explicit paddings
 PAD_K3 = ((1, 1), (1, 1), (1, 1))
 PAD_K1 = ((0, 0), (0, 0), (0, 0))
 
 
+def canonical_dtype(dtype):
+    """Accept 'bfloat16'/'float32' strings from config files."""
+    return jnp.dtype(dtype) if isinstance(dtype, str) else dtype
+
+
 def conv3d(features: int, kernel: int = 3, stride: int = 1, bias: bool = True,
-           name: str | None = None) -> nn.Conv:
+           name: str | None = None, dtype: Dtype = None) -> nn.Conv:
+    dtype = canonical_dtype(dtype)
     pad = PAD_K3 if kernel == 3 else PAD_K1
     return nn.Conv(features, kernel_size=(kernel,) * 3, strides=(stride,) * 3,
-                   padding=pad, use_bias=bias, name=name,
+                   padding=pad, use_bias=bias, name=name, dtype=dtype,
                    kernel_init=nn.initializers.he_normal())
 
 
 def group_norm(channels: int, num_groups: int = 8, name: str | None = None) -> nn.GroupNorm:
-    # reference create_conv: one group if channels < num_groups
+    """GroupNorm(8) with the reference's one-group fallback for thin tensors.
+
+    Statistics always accumulate in float32 (dtype=float32 below) regardless
+    of the bf16 compute dtype — the per-sample reduction spans the whole
+    ~160k-voxel volume and bf16 accumulation visibly drifts.  Callers cast
+    the result back to their compute dtype via the surrounding ops.
+    """
     if channels < num_groups:
         num_groups = 1
-    return nn.GroupNorm(num_groups=num_groups, name=name)
+    return nn.GroupNorm(num_groups=num_groups, name=name, dtype=jnp.float32)
 
 
 class SingleConv(nn.Module):
@@ -49,6 +63,7 @@ class SingleConv(nn.Module):
     stride: int = 1
     order: str = "gcr"
     num_groups: int = 8
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +78,7 @@ class SingleConv(nn.Module):
                                self.num_groups)(x)
             elif ch == "c":
                 x = conv3d(self.features, self.kernel, self.stride,
-                           bias=not has_norm)(x)
+                           bias=not has_norm, dtype=self.dtype)(x)
             elif ch == "r":
                 x = nn.relu(x)
             elif ch == "l":
@@ -83,19 +98,22 @@ class ResNetBlock(nn.Module):
     stride: int = 1
     order: str = "gcr"
     use_downsample: bool = False  # GN + 1x1 strided conv on the residual
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.shape[-1] != self.features:
-            residual = conv3d(self.features, kernel=1, bias=True, name="conv1")(x)
+            residual = conv3d(self.features, kernel=1, bias=True, name="conv1",
+                              dtype=self.dtype)(x)
         else:
             residual = x
         out = SingleConv(self.features, stride=self.stride, order=self.order,
-                         name="conv2")(residual)
+                         name="conv2", dtype=self.dtype)(residual)
         n_order = self.order
         for c in "rel":
             n_order = n_order.replace(c, "")
-        out = SingleConv(self.features, order=n_order, name="conv3")(out)
+        out = SingleConv(self.features, order=n_order, name="conv3",
+                         dtype=self.dtype)(out)
         if self.use_downsample:
             r = group_norm(residual.shape[-1], name="down_gn")(residual)
             r = nn.Conv(self.features, (1, 1, 1), strides=(self.stride,) * 3,
@@ -113,11 +131,13 @@ class GNConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     relu: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = group_norm(x.shape[-1])(x)
-        x = conv3d(self.features, self.kernel, self.stride, bias=False)(x)
+        x = conv3d(self.features, self.kernel, self.stride, bias=False,
+                   dtype=self.dtype)(x)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -1,0 +1,151 @@
+"""Solver + train-step tests: one-cycle schedule values, adam true-wd step
+semantics, and the end-to-end overfit-one-batch check (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from rtpose_tpu.solver import make_one_cycle_fns, adam_one_cycle, one_cycle_values
+from rtpose_tpu.core.targets import PoseTargetSpec
+from rtpose_tpu.engine import TrainState, create_train_state, make_train_step
+from rtpose_tpu.models import build_detector, CenterHead
+
+
+def ref_one_cycle(step, total, lr_max, moms, div, pct):
+    """Independent reimplementation of the fastai schedule for golden checks."""
+    a1 = int(total * pct)
+    low = lr_max / div
+
+    def cos(s, e, p):
+        return e + (s - e) / 2 * (np.cos(np.pi * p) + 1)
+
+    if step < a1:
+        return cos(low, lr_max, step / a1), cos(moms[0], moms[1], step / a1)
+    p = (step - a1) / (total - a1)
+    return cos(lr_max, low / 1e4, p), cos(moms[1], moms[0], p)
+
+
+class TestOneCycle:
+    def test_matches_reference_formula(self):
+        total, lr_max, moms, div, pct = 1000, 2e-3, (0.95, 0.85), 10.0, 0.4
+        lr_fn, mom_fn = make_one_cycle_fns(total, lr_max, moms, div, pct)
+        for step in [0, 1, 100, 399, 400, 401, 700, 999]:
+            lr_ref, mom_ref = ref_one_cycle(step, total, lr_max, moms, div, pct)
+            # float32 cos: ~1e-4 relative is the schedule's own precision
+            assert float(lr_fn(step)) == pytest.approx(lr_ref, rel=1e-4), step
+            assert float(mom_fn(step)) == pytest.approx(mom_ref, rel=1e-4), step
+
+    def test_boundary_values(self):
+        lr0, mom0 = one_cycle_values(0, 1000, 2e-3)
+        assert float(lr0) == pytest.approx(2e-4, rel=1e-6)   # lr_max/div
+        assert float(mom0) == pytest.approx(0.95, rel=1e-6)
+        lr_peak, mom_peak = one_cycle_values(400, 1000, 2e-3)
+        assert float(lr_peak) == pytest.approx(2e-3, rel=1e-6)
+        assert float(mom_peak) == pytest.approx(0.85, rel=1e-6)
+
+
+class TestAdamTrueWD:
+    def test_single_step_matches_manual(self):
+        lr, b1, b2, eps, wd = 1e-3, 0.9, 0.999, 1e-8, 0.01
+        opt = adam_one_cycle(lambda s: lr, lambda s: b1, beta2=b2, eps=eps,
+                             weight_decay=wd, grad_clip_norm=None)
+        p = {"w": jnp.asarray([1.0, -2.0])}
+        g = {"w": jnp.asarray([0.5, 0.25])}
+        state = opt.init(p)
+        updates, _ = opt.update(g, state, p)
+        new_p = optax.apply_updates(p, updates)
+
+        # manual torch-Adam step 1 with decoupled decay applied first
+        m = (1 - b1) * np.array([0.5, 0.25])
+        v = (1 - b2) * np.array([0.5, 0.25]) ** 2
+        mhat = m / (1 - b1)
+        vhat = v / (1 - b2)
+        expect = np.array([1.0, -2.0]) * (1 - wd * lr) - lr * mhat / (np.sqrt(vhat) + eps)
+        np.testing.assert_allclose(np.asarray(new_p["w"]), expect, rtol=1e-6)
+
+    def test_grad_clip(self):
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=1.0)
+        p = {"w": jnp.zeros(3)}
+        g = {"w": jnp.asarray([30.0, 40.0, 0.0])}  # norm 50 -> scaled by 1/50
+        state = opt.init(p)
+        updates, _ = opt.update(g, state, p)
+        # after clipping, both mu entries reflect gradient scaled to norm 1
+        # -> adam normalizes scale away, but the clip must not be a no-op:
+        # check via two different magnitudes producing the same update
+        g2 = {"w": jnp.asarray([3.0, 4.0, 0.0])}   # norm 5 -> also clipped to 1
+        updates2, _ = opt.update(g2, opt.init(p), p)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   np.asarray(updates2["w"]), rtol=1e-5)
+
+
+def tiny_model_and_spec():
+    GRID = (4, 8, 16)
+    model_cfg = dict(
+        type="RadarPoseNet",
+        reader=dict(type="RadarFeatureNet"),
+        backbone=dict(type="HRNet3D", backbone_cfg="hr_tiny_feat16_zyx_l4",
+                      final_conv_in=176, final_conv_out=64,
+                      final_fuse="conat_conv", ds_factor=1),
+        pose_head=dict(type="CenterHead",
+                       tasks=[dict(num_class=1, class_names=["Pelvis"])],
+                       in_channels=64, share_conv_channel=64,
+                       common_heads={"reg": (45, 2)}, weight=0.5,
+                       code_weights=[1.0] * 45),
+        neck=None,
+    )
+    model = build_detector(model_cfg)
+    head = CenterHead(**{k: v for k, v in model_cfg["pose_head"].items() if k != "type"})
+    spec = PoseTargetSpec(grid_zyx=GRID, pc_range_min_xyz=(0.0, -4.0, -1.0),
+                          voxel_size_xyz=(0.5, 1.0, 0.5), max_poses=1,
+                          min_radius=2, mode="one_hm", num_classes=1)
+    return model, head, spec, GRID
+
+
+class TestTrainStep:
+    def test_overfit_one_batch(self):
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(0)
+        B = 2
+        batch = {
+            "rdr_tensor": jnp.asarray(rng.normal(size=(B, Z, Y, X, 1)).astype(np.float32)),
+            "poses": jnp.asarray(
+                (rng.uniform(0.2, 0.8, size=(B, 1, 15, 3))
+                 * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                 + np.array([0.0, -4.0, -1.0])).astype(np.float32)),
+            "num_poses": jnp.ones((B,), jnp.int32),
+        }
+        lr_fn, mom_fn = make_one_cycle_fns(50, 1e-2)
+        opt = adam_one_cycle(lr_fn, mom_fn, weight_decay=0.01, grad_clip_norm=35.0)
+        state = create_train_state(model, opt, batch["rdr_tensor"])
+        step = jax.jit(make_train_step(model, head, spec, opt, lr_fn=lr_fn))
+
+        losses = []
+        for _ in range(30):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.5, losses
+        assert float(metrics["num_positive"]) == B
+        assert int(state.step) == 30
+
+    def test_nan_guard_skips_step(self):
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        batch = {
+            "rdr_tensor": jnp.full((1, Z, Y, X, 1), jnp.nan),
+            "poses": jnp.zeros((1, 1, 15, 3)),
+            "num_poses": jnp.ones((1,), jnp.int32),
+        }
+        opt = adam_one_cycle(lambda s: 1e-2, None)
+        state = create_train_state(model, opt, batch["rdr_tensor"])
+        step = jax.jit(make_train_step(model, head, spec, opt))
+        new_state, metrics = step(state, batch)
+        assert float(metrics["skipped"]) == 1.0
+        # params unchanged
+        p0 = jax.tree.leaves(state.params)[0]
+        p1 = jax.tree.leaves(new_state.params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
