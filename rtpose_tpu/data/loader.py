@@ -1,0 +1,131 @@
+"""Batch loader: per-host sharding, epoch-seeded shuffling, threaded prefetch.
+
+Replaces the reference's DataLoader + DistributedGroupSampler stack
+(``det3d/datasets/loader/``): on TPU there is one Python process per host and
+the loader shards the index space by ``jax.process_index()`` exactly like
+``DistributedGroupSampler`` shards by rank (epoch-seeded randperm, per-rank
+slice — sampler.py:139-223).  A background thread assembles the next batch
+while the device computes, mirroring ``prefetch_factor`` semantics without
+worker processes (the numpy work per batch is a load+crop+normalize).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def shard_indices(n: int, epoch: int, shuffle: bool, num_shards: int,
+                  shard_id: int, drop_last: bool) -> np.ndarray:
+    """Epoch-seeded global permutation, padded to a multiple of num_shards,
+    sliced per shard (DistributedGroupSampler parity)."""
+    if shuffle:
+        rng = np.random.default_rng(epoch)
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    if drop_last:
+        usable = (n // num_shards) * num_shards
+        order = order[:usable]
+    else:
+        pad = (-len(order)) % num_shards
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+    return order[shard_id::num_shards]
+
+
+class BatchLoader:
+    """Iterates dict-of-numpy batches over a map-style dataset.
+
+    Batch layout: every array key in the sample is stacked on a new leading
+    axis; per-task list keys (hm/ind/mask/cat/anno_pose) are stacked
+    element-wise; 'meta' becomes a list.  The final short batch of an eval
+    epoch is padded by repeating the last sample, with 'valid' carrying the
+    real count (fixed shapes keep one compiled executable).
+    """
+
+    LIST_KEYS = ("hm", "ind", "mask", "cat", "anno_pose")
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: Optional[bool] = None, num_shards: int = 1,
+                 shard_id: int = 0, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """DistSamplerSeedHook parity (hooks/sampler_seed.py:4-6)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        per_shard = len(self._indices())
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return (per_shard + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        return shard_indices(len(self.dataset), self.seed + self.epoch,
+                             self.shuffle, self.num_shards, self.shard_id,
+                             self.drop_last)
+
+    def _collate(self, items: List[dict], valid: int) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+        first = items[0]
+        for k, v in first.items():
+            if k == "meta":
+                batch["meta"] = [it["meta"] for it in items]
+            elif k in self.LIST_KEYS:
+                batch[k] = [np.stack([it[k][t] for it in items])
+                            for t in range(len(v))]
+            elif isinstance(v, np.ndarray) or np.isscalar(v):
+                batch[k] = np.stack([np.asarray(it[k]) for it in items])
+            # non-array keys (e.g. 'mode') are dropped from device batches
+        batch["valid"] = np.int32(valid)
+        return batch
+
+    def _batches(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            sel = idx[b * bs : (b + 1) * bs]
+            valid = len(sel)
+            if valid < bs:  # pad final eval batch to fixed shape
+                sel = np.concatenate([sel, np.repeat(sel[-1:], bs - valid)])
+            yield self._collate([self.dataset[int(i)] for i in sel], valid)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # surface loader errors in the main thread
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

@@ -1,0 +1,163 @@
+"""Data layer tests: ROI geometry, dataset loading, loader sharding,
+pipeline-vs-device target parity, evaluation report format."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rtpose_tpu.data import (
+    CRUWPoseDataset, CubeGeometry, BatchLoader, shard_indices,
+    generate_synthetic_dataset,
+)
+from rtpose_tpu.data.synthetic import dataset_cfg, ROI1
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cruw"))
+    keys = generate_synthetic_dataset(root, num_seqs=2, frames_per_seq=4)
+    return root, keys
+
+
+class TestGeometry:
+    def test_roi1_crop_is_16_64_160(self):
+        """The flagship ROI must produce the (16, 64, 160) grid
+        (SURVEY.md §6, configs/.../hr3d_one_hm_doppler.py:37)."""
+        geom = CubeGeometry.from_roi({k: list(v) for k, v in ROI1.items()})
+        assert geom.grid_zyx == (16, 64, 160)
+
+    def test_full_cube_axes(self):
+        z, y, x = CubeGeometry.full_axes()
+        assert (len(z), len(y), len(x)) == (32, 128, 256)
+
+    def test_no_roi(self):
+        geom = CubeGeometry.from_roi(None)
+        assert geom.grid_zyx == (32, 128, 256)
+
+
+class TestDataset:
+    def test_doppler_sample_shapes(self, synth_root):
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                             split="train")
+        assert len(ds) == 8
+        item = ds[0]
+        assert item["rdr_tensor"].shape == (16, 64, 160, 32)
+        assert item["rdr_tensor"].dtype == np.float32
+        assert item["rdr_tensor"].min() >= 0.0
+        assert item["poses"].shape == (1, 15, 3)
+        assert item["num_poses"] == 1
+
+    def test_zyx_real_single_channel(self, tmp_path):
+        root = str(tmp_path / "zyx")
+        generate_synthetic_dataset(root, num_seqs=1, frames_per_seq=2,
+                                   rdr_type="zyx_real")
+        cfg = dataset_cfg(root, rdr_type="zyx_real")
+        ds = CRUWPoseDataset(dict(DATASET=cfg), "Train.json", split="train")
+        assert ds[0]["rdr_tensor"].shape == (16, 64, 160, 1)
+
+    def test_evaluation_perfect_predictions(self, synth_root):
+        root, keys = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Test.json",
+                             split="test")
+        gt = json.load(open(os.path.join(root, "Test.json")))
+        dets = {}
+        for key in keys["Test"]:
+            seq, frame, rdr = key.split("/")
+            pose = gt[seq][frame][0]["pose"]
+            dets[key] = {"keypoints": [(j, *pose[j], 1.0) for j in range(15)]}
+        res, _ = ds.evaluation(dets)
+        assert res["results"]["MPJPE"] == pytest.approx(0.0, abs=1e-9)
+        assert res["results"]["ABS_MPJPE"] == pytest.approx(0.0, abs=1e-9)
+        assert "PJPE_14" in res["results"]
+        assert "ALL" in res["seq_results"]
+
+    def test_evaluation_known_error(self, synth_root):
+        root, keys = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Test.json",
+                             split="test")
+        gt = json.load(open(os.path.join(root, "Test.json")))
+        dets = {}
+        for key in keys["Test"]:
+            seq, frame, rdr = key.split("/")
+            pose = np.asarray(gt[seq][frame][0]["pose"])
+            shifted = pose + np.array([0.05, 0, 0])  # 5 cm x-shift
+            dets[key] = {"keypoints": [(j, *shifted[j], 1.0) for j in range(15)]}
+        res, _ = ds.evaluation(dets)
+        # constant shift: ABS_MPJPE = 50mm, root-relative MPJPE = 0
+        assert res["results"]["ABS_MPJPE"] == pytest.approx(50.0, rel=1e-6)
+        assert res["results"]["MPJPE"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestLoader:
+    def test_shard_partition(self):
+        # every index appears exactly once across shards (after padding)
+        shards = [shard_indices(10, epoch=3, shuffle=True, num_shards=4,
+                                shard_id=i, drop_last=False) for i in range(4)]
+        allidx = np.concatenate(shards)
+        assert len(allidx) == 12  # padded to multiple of 4
+        assert set(allidx.tolist()) == set(range(10))
+        assert all(len(s) == 3 for s in shards)
+
+    def test_epoch_reshuffles(self):
+        a = shard_indices(100, 0, True, 1, 0, True)
+        b = shard_indices(100, 1, True, 1, 0, True)
+        assert not np.array_equal(a, b)
+        # deterministic per epoch
+        np.testing.assert_array_equal(a, shard_indices(100, 0, True, 1, 0, True))
+
+    def test_batches_and_padding(self, synth_root):
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Test.json",
+                             split="test")
+        loader = BatchLoader(ds, batch_size=3, shuffle=False, drop_last=False)
+        batches = list(loader)
+        assert len(batches) == 3  # 8 samples / bs 3 -> 3,3,2(padded)
+        assert batches[0]["rdr_tensor"].shape == (3, 16, 64, 160, 32)
+        assert batches[0]["valid"] == 3
+        assert batches[-1]["valid"] == 2
+        assert batches[-1]["rdr_tensor"].shape == (3, 16, 64, 160, 32)
+        assert len(batches[0]["meta"]) == 3
+
+    def test_train_drop_last(self, synth_root):
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                             split="train")
+        loader = BatchLoader(ds, batch_size=3, shuffle=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert all(b["valid"] == 3 for b in batches)
+
+
+class TestPipelineParity:
+    def test_host_pipeline_matches_device_assigner(self, synth_root):
+        import jax
+        import jax.numpy as jnp
+        from rtpose_tpu.core.targets import PoseTargetSpec, assign_pose_targets
+        from rtpose_tpu.data.pipelines import AssignLabelPose2
+
+        root, _ = synth_root
+        cfg = dict(DATASET=dataset_cfg(root))
+        assigner_cfg = dict(
+            target_assigner=dict(tasks=[dict(num_class=1, class_names=["Pelvis"])]),
+            out_size_factor=[1, 1, 1], gaussian_overlap=0.1,
+            max_poses=1, min_radius=2)
+        pipeline = [dict(type="AssignLabelPose2", cfg=assigner_cfg)]
+        ds = CRUWPoseDataset(cfg, "Train.json", split="train", pipeline=pipeline)
+        item = ds[0]
+        assert item["hm"][0].shape == (16, 64, 160, 1)
+
+        spec = PoseTargetSpec(
+            grid_zyx=(16, 64, 160),
+            pc_range_min_xyz=(ROI1["x"][0], ROI1["y"][0], ROI1["z"][0]),
+            voxel_size_xyz=(0.0453125, 0.15703125, 0.3625),
+            max_poses=1, min_radius=2, mode="one_hm", num_classes=1)
+        dev = jax.jit(lambda p, n: assign_pose_targets(p, n, spec))(
+            jnp.asarray(item["poses"]), jnp.int32(item["num_poses"]))
+        np.testing.assert_allclose(np.transpose(np.asarray(dev["hm"]), (1, 2, 3, 0)),
+                                   item["hm"][0], atol=3e-6)
+        np.testing.assert_array_equal(np.asarray(dev["ind"]), item["ind"][0])
+        np.testing.assert_allclose(np.asarray(dev["anno_pose"]),
+                                   item["anno_pose"][0], rtol=3e-6, atol=3e-5)
