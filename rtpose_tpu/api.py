@@ -1,0 +1,105 @@
+"""High-level assembly: Config -> model modules + specs + loaders.
+
+The single point that interprets the reference config schema (model /
+assigner / test_cfg / data dicts) into the framework's pure-function pieces.
+Used by tools/train.py, tools/test.py, bench.py and __graft_entry__.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+from .core.decode import DecodeSpec
+from .core.targets import PoseTargetSpec
+from .data.cruw_pose import CubeGeometry
+from .models import CenterHead, build_detector
+from .registry import DATASETS, build_from_cfg
+
+
+@dataclasses.dataclass
+class Assembly:
+    model: Any                     # flax detector module
+    head: Any                      # unbound CenterHead (loss/predict helpers)
+    target_spec: PoseTargetSpec
+    decode_spec: DecodeSpec
+    input_shape_zyxc: Tuple[int, int, int, int]
+    one_hm: bool
+
+
+def input_channels(dataset_cfg: Dict[str, Any]) -> int:
+    """Channel count from RDR_TYPE (SURVEY.md §2.2 config table)."""
+    rdr_type = dataset_cfg.get("RDR_TYPE", "zyx_real")
+    d_bins = int(dataset_cfg.get("DOPPLER_BINS", 32))
+    if "d" in rdr_type:
+        return 2 * d_bins if "complex" in rdr_type else d_bins
+    return 2 if "complex" in rdr_type else 1
+
+
+def grid_from_cfg(dataset_cfg: Dict[str, Any]) -> Tuple[int, int, int]:
+    roi = None
+    if dataset_cfg["RDR_CUBE"].get("IS_CONSIDER_ROI", False):
+        roi_type = dataset_cfg["RDR_CUBE"].get("ROI_TYPE",
+                                               dataset_cfg["LABEL"]["ROI_TYPE"])
+        roi = {k: list(v) for k, v in dataset_cfg["ROI"][roi_type].items()}
+    return CubeGeometry.from_roi(roi).grid_zyx
+
+
+def assemble(cfg) -> Assembly:
+    """Build everything from a loaded Config (or plain dict-of-dicts)."""
+    get = cfg.get if hasattr(cfg, "get") else cfg.__getitem__
+    dataset_cfg = dict(get("DATASET"))
+    model_cfg = dict(get("model"))
+    assigner_cfg = dict(get("train_cfg")["assigner"])
+    test_cfg = dict(get("test_cfg"))
+
+    grid = grid_from_cfg(dataset_cfg)
+    osf = tuple(int(f) for f in assigner_cfg.get("out_size_factor", (1, 1, 1)))
+    feat_grid = tuple(g // f for g, f in zip(grid, osf))
+    voxel = tuple(float(v) for v in dataset_cfg["RDR_CUBE"]["GRID_SIZE"])
+    pc_min = tuple(float(v) for v in test_cfg["pc_range"])
+
+    try:
+        mode = get("assigner_mode", "one_hm")
+    except TypeError:
+        mode = "one_hm"
+    tasks = [dict(t) for t in model_cfg["pose_head"]["tasks"]]
+    num_classes = len(tasks[0]["class_names"])
+
+    target_spec = PoseTargetSpec(
+        grid_zyx=feat_grid,
+        pc_range_min_xyz=pc_min,
+        voxel_size_xyz=voxel,
+        out_size_factor_zyx=osf,
+        max_poses=int(assigner_cfg.get("max_poses", 1)),
+        min_radius=int(assigner_cfg.get("min_radius", 2)),
+        mode=mode,
+        num_classes=num_classes,
+    )
+    decode_spec = DecodeSpec(
+        grid_zyx=feat_grid,
+        pc_range_min_xyz=pc_min,
+        voxel_size_xyz=tuple(float(v) for v in test_cfg["voxel_size"]),
+        out_size_factor_zyx=osf,
+        score_threshold=float(test_cfg.get("score_threshold", 0.0)),
+    )
+
+    model = build_detector(model_cfg)
+    head_kwargs = {k: v for k, v in model_cfg["pose_head"].items() if k != "type"}
+    head = CenterHead(**head_kwargs)
+
+    c_in = input_channels(dataset_cfg)
+    return Assembly(model=model, head=head, target_spec=target_spec,
+                    decode_spec=decode_spec,
+                    input_shape_zyxc=(*grid, c_in),
+                    one_hm=(mode == "one_hm"))
+
+
+def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,
+                           max_poses: int = 1):
+    """Build a dataset from cfg.data.{train,val,test} (reference schema)."""
+    dcfg = dict(data_cfg[split])
+    dcfg.pop("class_names", None)
+    dcfg["split"] = "train" if split == "train" else "test"
+    dcfg["max_poses"] = max_poses
+    return build_from_cfg(dcfg, DATASETS)

@@ -1,0 +1,86 @@
+"""Multi-chip (virtual 8-device CPU mesh) data-parallel tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtpose_tpu.parallel import make_mesh, replicate, shard_batch
+from rtpose_tpu.engine import create_train_state, make_train_step
+from rtpose_tpu.solver import adam_one_cycle, make_one_cycle_fns
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __graft_entry__ as graft
+
+
+class TestMesh:
+    def test_make_mesh_8(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+
+    def test_shard_batch_layout(self):
+        mesh = make_mesh(4)
+        batch = {"rdr_tensor": np.zeros((8, 2, 2, 2, 1), np.float32),
+                 "num_poses": np.ones((8,), np.int32),
+                 "valid": np.int32(8),
+                 "meta": [{"seq": "0"}] * 8}
+        dev = shard_batch(batch, mesh)
+        assert dev["rdr_tensor"].sharding.spec == jax.sharding.PartitionSpec("data")
+        assert dev["meta"] == batch["meta"]
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self):
+        """The 8-way sharded train step must produce the same new params as
+        the single-device step on the identical global batch."""
+        # f32 model: bit-exactness across device layouts (bf16 convs tile
+        # differently per batch size and add ~1e-3 noise)
+        asm = graft._flagship(tiny=True, dtype_override="float32")
+        z, y, x, c = asm.input_shape_zyxc
+        B = 8
+        rng = np.random.default_rng(0)
+        pelvis = np.asarray(asm.target_spec.pc_range_min_xyz, np.float32) + 0.6
+        batch = {
+            "rdr_tensor": rng.normal(size=(B, z, y, x, c)).astype(np.float32),
+            "poses": np.tile(pelvis, (B, 1, 15, 1)).astype(np.float32),
+            "num_poses": np.ones((B,), np.int32),
+        }
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        train_step = make_train_step(asm.model, asm.head, asm.target_spec, opt)
+        x0 = jnp.zeros((1, z, y, x, c), jnp.float32)
+        state0 = create_train_state(asm.model, opt, x0)
+
+        # single device
+        s1, m1 = jax.jit(train_step)(state0, jax.device_put(batch))
+
+        # 8-device mesh
+        mesh = make_mesh(8)
+        with mesh:
+            stateR = replicate(state0, mesh)
+            devb = shard_batch(batch, mesh)
+            s8, m8 = jax.jit(train_step)(stateR, devb)
+
+        assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+        # params: identical up to adam knife-edges — elements whose gradient
+        # is ~0 get a +-lr*mhat/sqrt(vhat) step whose SIGN flips with
+        # reduction-order noise.  Bound: |diff| <= 2*lr everywhere, and the
+        # fraction of non-tiny diffs stays negligible.
+        lr = 1e-3
+        total = mismatched = 0
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert d.max() <= 2.05 * lr, d.max()
+            total += d.size
+            mismatched += int((d > 1e-5).sum())
+        assert mismatched / total < 5e-3, (mismatched, total)
+
+    def test_graft_dryrun(self):
+        graft.dryrun_multichip(8)
+
+    def test_graft_entry_compiles(self):
+        fn, args = graft.entry()
+        hm, reg = jax.jit(fn)(*args)
+        assert hm.shape == (1, 16, 64, 160, 1)
+        assert reg.shape == (1, 16, 64, 160, 45)
