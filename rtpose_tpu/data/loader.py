@@ -86,9 +86,10 @@ class BatchLoader:
             elif k in self.LIST_KEYS:
                 batch[k] = [np.stack([it[k][t] for it in items])
                             for t in range(len(v))]
-            elif isinstance(v, np.ndarray) or np.isscalar(v):
+            elif (isinstance(v, np.ndarray) or np.isscalar(v)) \
+                    and np.issubdtype(np.asarray(v).dtype, np.number):
                 batch[k] = np.stack([np.asarray(it[k]) for it in items])
-            # non-array keys (e.g. 'mode') are dropped from device batches
+            # non-numeric keys (e.g. 'mode') are dropped from device batches
         batch["valid"] = np.int32(valid)
         return batch
 

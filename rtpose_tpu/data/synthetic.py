@@ -21,17 +21,22 @@ ROI1 = {"z": [-1.0875000000000021, 4.7125],
         "x": [0.7703125, 8.0203125]}
 
 
-def _random_pose(rng: np.random.Generator) -> np.ndarray:
-    """A 15-joint skeleton-ish pose inside ROI1 (meters, xyz)."""
+DEFAULT_PELVIS_RANGE = {"x": (2.0, 7.0), "y": (-3.5, 3.5), "z": (0.8, 1.2)}
+
+
+def _random_pose(rng: np.random.Generator, pelvis_range=None,
+                 offset_scale=(0.25, 0.25, 0.35), z_clip=(-0.9, 2.0)) -> np.ndarray:
+    """A 15-joint skeleton-ish pose inside the ROI (meters, xyz)."""
+    pr = pelvis_range or DEFAULT_PELVIS_RANGE
     pelvis = np.array([
-        rng.uniform(2.0, 7.0),          # x (range)
-        rng.uniform(-3.5, 3.5),         # y (azimuth)
-        rng.uniform(0.8, 1.2),          # z (pelvis height)
+        rng.uniform(*pr["x"]),          # x (range)
+        rng.uniform(*pr["y"]),          # y (azimuth)
+        rng.uniform(*pr["z"]),          # z (pelvis height)
     ])
-    offsets = rng.normal(scale=[0.25, 0.25, 0.35], size=(15, 3))
+    offsets = rng.normal(scale=offset_scale, size=(15, 3))
     offsets[0] = 0.0
     pose = pelvis[None] + offsets
-    pose[:, 2] = np.clip(pose[:, 2], -0.9, 2.0)
+    pose[:, 2] = np.clip(pose[:, 2], *z_clip)
     return pose
 
 
@@ -39,7 +44,9 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                frames_per_seq: int = 8, doppler_bins: int = 32,
                                rdr_type: str = "dzyx_real", seed: int = 0,
                                full_zyx: Tuple[int, int, int] = (32, 128, 256),
-                               dtype=np.float16) -> Dict[str, list]:
+                               dtype=np.float16, pelvis_range=None,
+                               offset_scale=(0.25, 0.25, 0.35),
+                               z_clip=(-0.9, 2.0)) -> Dict[str, list]:
     """Create the dataset under ``root``; returns {split: [sample keys]}."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -71,7 +78,7 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
             for fi in range(frames_per_seq):
                 frame = f"{split.lower()}_{fi:04d}"
                 rdr_frame = f"{len(os.listdir(cube_dir)):06d}"
-                pose = _random_pose(rng)
+                pose = _random_pose(rng, pelvis_range, offset_scale, z_clip)
 
                 cube = rng.uniform(n0, n0 + 0.1 * (n1 - n0),
                                    size=(Z, Y, X)).astype(np.float32)

@@ -1,0 +1,100 @@
+"""Evaluation / inference loop with the reference's throughput harness.
+
+Parity with ``tools/test.py:178-252``: iterate the eval loader, decode
+on-device, accumulate detections keyed ``seq/frame/rdr_frame``, time the
+middle third of the dataset with device synchronization at the window
+edges, gather across hosts, and hand the merged dict to
+``dataset.evaluation``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..core.decode import post_process_pose
+from ..parallel import all_gather_objects, shard_batch
+
+
+def run_eval(eval_step: Callable, params, loader, decode_spec, *,
+             one_hm: bool = True, mesh=None, speed_test: bool = False,
+             logger=None) -> Tuple[Dict[str, dict], Optional[float]]:
+    """Returns (detections, seconds_per_frame or None)."""
+    eval_jit = jax.jit(eval_step)
+    detections: Dict[str, dict] = {}
+    n_batches = len(loader)
+    start_i, end_i = n_batches // 3, (2 * n_batches) // 3
+    t_start = t_end = None
+    frames_timed = 0
+
+    for i, host_batch in enumerate(loader):
+        if speed_test and i == start_i:
+            jax.effects_barrier()
+            t_start = time.perf_counter()
+        if speed_test and i == end_i:
+            jax.effects_barrier()
+            t_end = time.perf_counter()
+
+        dev_only = {k: v for k, v in host_batch.items()
+                    if k not in ("meta", "valid")}
+        batch = shard_batch(dev_only, mesh) if mesh is not None else dev_only
+        per_task = eval_jit(params, batch)
+        if speed_test and start_i <= i < end_i:
+            frames_timed += int(host_batch["valid"])
+
+        valid = int(host_batch["valid"])
+        metas = host_batch["meta"][:valid]
+        # merge tasks: reference concatenates task keypoint lists per sample
+        merged = None
+        for kpts, scores, labels in per_task:
+            outs = post_process_pose(kpts[:valid], scores[:valid], labels[:valid],
+                                     decode_spec, metas=metas, one_hm=one_hm)
+            if merged is None:
+                merged = outs
+            else:
+                for m, o in zip(merged, outs):
+                    m["keypoints"] += o["keypoints"]
+        for out in merged:
+            meta = out.pop("metadata")
+            key = f"{meta['seq']}/{meta['frame']}/{meta['rdr_frame']}"
+            detections[key] = out
+
+    sec_per_frame = None
+    if speed_test and t_start is not None and t_end is not None and frames_timed:
+        sec_per_frame = (t_end - t_start) / frames_timed
+        if logger:
+            logger.info(f"Total time per frame: {sec_per_frame:.6f}s "
+                        f"({1.0 / sec_per_frame:.1f} frames/s)")
+
+    # multi-host gather (trainer/utils.py:114-154 parity)
+    merged_all: Dict[str, dict] = {}
+    for part in all_gather_objects(detections):
+        merged_all.update(part)
+    return merged_all, sec_per_frame
+
+
+def save_predictions(detections: Dict[str, dict], work_dir: str,
+                     checkpoint_name: str, split: str) -> str:
+    """Write {split}_prediction.json (tools/test.py:41-63 format)."""
+    import json
+    import os
+
+    result: Dict[str, dict] = {}
+    for key, val in detections.items():
+        seq, frame, rdr_frame = key.split("/")
+        result.setdefault(seq, {})[frame] = {
+            "keypoints": [list(p) for p in val["keypoints"]],
+            "rdr_frame": rdr_frame,
+        }
+    for seq in result:
+        result[seq] = dict(sorted(result[seq].items(),
+                                  key=lambda x: x[0]))
+    out_dir = os.path.join(work_dir, checkpoint_name)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{split}_prediction.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    return path

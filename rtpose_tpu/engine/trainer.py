@@ -1,0 +1,190 @@
+"""Training loop.
+
+The runtime counterpart of the reference Trainer
+(``det3d/torchie/trainer/trainer.py:143-609``) reshaped for JAX: the hot
+path is one jitted ``train_step``; the Python loop only feeds batches,
+buffers device metrics, and fires callbacks (text/TensorBoard logging every
+``log_interval`` iters, checkpoints every ``checkpoint_interval`` epochs,
+loader epoch reseeding, per-phase timing).
+
+Metric reads (``float(...)``) force a device sync, so the loop keeps the
+last ``log_interval`` metric pytrees unresolved and only materializes them
+at logging time — the device never waits on the host between steps.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .log_buffer import LogBuffer
+from .steps import TrainState
+
+
+def get_root_logger(log_level="INFO", work_dir: Optional[str] = None):
+    logger = logging.getLogger("rtpose_tpu")
+    if not logger.handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
+        logger.addHandler(h)
+    logger.setLevel(log_level)
+    if work_dir:
+        os.makedirs(work_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(
+            work_dir, f"exp_{time.strftime('%Y%m%d_%H%M%S')}.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s - %(levelname)s - %(message)s"))
+        logger.addHandler(fh)
+    return logger
+
+
+class TensorboardWriter:
+    """Thin optional TB writer (TensorboardLoggerHook parity)."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.writer = SummaryWriter(log_dir)
+        except Exception:
+            self.writer = None
+
+    def add_scalars(self, scalars: Dict[str, float], step: int):
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, step)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+class Trainer:
+    def __init__(self, train_step: Callable, state: TrainState, *,
+                 work_dir: str, total_epochs: int,
+                 lr_fn: Optional[Callable] = None,
+                 mesh=None, log_interval: int = 20,
+                 checkpoint_interval: int = 5,
+                 meta: Optional[dict] = None,
+                 enable_tensorboard: bool = True,
+                 logger=None):
+        self.work_dir = os.path.abspath(work_dir)
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.logger = logger or get_root_logger(work_dir=self.work_dir)
+        self.mesh = mesh or make_mesh()
+        self.state = replicate(state, self.mesh)
+        self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.total_epochs = total_epochs
+        self.lr_fn = lr_fn
+        self.log_interval = log_interval
+        self.checkpoint_interval = checkpoint_interval
+        self.meta = meta or {}
+        self.epoch = 0
+        self.log_buffer = LogBuffer()
+        self.tb = (TensorboardWriter(os.path.join(self.work_dir, "tf_logs"))
+                   if enable_tensorboard else None)
+        self.json_log = os.path.join(
+            self.work_dir, f"{time.strftime('%Y%m%d_%H%M%S')}.log.json")
+        self._eval_fn: Optional[Callable] = None
+
+    # ------------------------------------------------------------------
+
+    def resume(self, path: str):
+        self.state, meta = load_checkpoint(path, jax.device_get(self.state))
+        self.state = replicate(self.state, self.mesh)
+        self.epoch = int(meta.get("epoch", 0))
+        self.logger.info(f"resumed from {path}: epoch {self.epoch}, "
+                         f"step {int(self.state.step)}")
+
+    def run(self, train_loader, val_loader=None, workflow=(("train", 1),),
+            eval_fn: Optional[Callable] = None):
+        """workflow: [('train', k), ('val', 1), ...] — reference semantics."""
+        self._eval_fn = eval_fn
+        steps_per_epoch = len(train_loader)
+        self.logger.info(
+            f"start training: {self.total_epochs} epochs x {steps_per_epoch} "
+            f"steps, {self.mesh.devices.size} device(s)")
+        while self.epoch < self.total_epochs:
+            for mode, times in workflow:
+                for _ in range(times):
+                    if self.epoch >= self.total_epochs:
+                        break
+                    if mode == "train":
+                        self.train_epoch(train_loader)
+                    elif mode == "val" and val_loader is not None and eval_fn:
+                        eval_fn(self.state, val_loader, self.epoch)
+        if self.tb:
+            self.tb.close()
+        return self.state
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, loader):
+        loader.set_epoch(self.epoch)
+        n = len(loader)
+        pending: List[Any] = []
+        t_iter = time.perf_counter()
+        epoch_t0 = t_iter
+        for i, host_batch in enumerate(loader):
+            t_data = time.perf_counter()
+            host_batch.pop("meta", None)   # device step takes arrays only
+            host_batch.pop("valid", None)  # train batches are always full
+            batch = shard_batch(host_batch, self.mesh)
+            t_xfer = time.perf_counter()
+            self.state, metrics = self.train_step(self.state, batch)
+            pending.append(metrics)
+            t_done = time.perf_counter()
+
+            if (i + 1) % self.log_interval == 0 or i + 1 == n:
+                self._flush_metrics(pending)
+                pending = []
+                self.log_buffer.update({
+                    "data_time": t_data - t_iter,
+                    "transfer_time": t_xfer - t_data,
+                    "step_time": t_done - t_xfer,
+                    "time": t_done - t_iter,
+                })
+                self.log_buffer.average(self.log_interval)
+                self._log(i + 1, n, epoch_t0)
+                self.log_buffer.clear_output()
+            t_iter = time.perf_counter()
+        self.epoch += 1
+        if self.epoch % self.checkpoint_interval == 0 or self.epoch == self.total_epochs:
+            path = save_checkpoint(self.work_dir, jax.device_get(self.state),
+                                   self.epoch, self.meta)
+            if path:
+                self.logger.info(f"saved checkpoint {path}")
+
+    def _flush_metrics(self, pending):
+        for m in pending:
+            scalars = {k: float(v) for k, v in m.items()
+                       if k != "loc_loss_elem" and np.ndim(v) == 0}
+            self.log_buffer.update(scalars)
+
+    def _log(self, it: int, n: int, epoch_t0: float):
+        out = dict(self.log_buffer.output)
+        step = int(self.state.step)
+        elapsed = time.perf_counter() - epoch_t0
+        eta = (n - it) * (elapsed / max(it, 1)) + \
+            (self.total_epochs - self.epoch - 1) * n * (elapsed / max(it, 1))
+        lr = out.get("lr", float(self.lr_fn(step)) if self.lr_fn else 0.0)
+        msg = (f"Epoch [{self.epoch + 1}/{self.total_epochs}][{it}/{n}] "
+               f"lr: {lr:.5f}, eta: {int(eta)}s, "
+               f"loss: {out.get('loss', 0):.4f}, hm: {out.get('hm_loss', 0):.4f}, "
+               f"loc: {out.get('loc_loss', 0):.4f}, "
+               f"time: {out.get('time', 0)*1000:.0f}ms "
+               f"(data {out.get('data_time', 0)*1000:.0f} / "
+               f"step {out.get('step_time', 0)*1000:.0f})")
+        self.logger.info(msg)
+        if jax.process_index() == 0:
+            rec = dict(out, mode="train", epoch=self.epoch + 1, iter=it, step=step)
+            with open(self.json_log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            if self.tb:
+                self.tb.add_scalars({f"train/{k}": v for k, v in out.items()}, step)

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint.
+
+Same CLI surface as the reference ``tools/test.py``: required --checkpoint,
+--testset to use Test.json, --speed_test for batch-1 middle-third
+throughput timing.  Writes {split}_prediction.json and the per-sequence
+results JSON in the reference's format.
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config", help="config file path")
+    p.add_argument("--work_dir", help="output dir")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint dir (or work_dir with a 'latest' pointer)")
+    p.add_argument("--speed_test", action="store_true")
+    p.add_argument("--testset", action="store_true")
+    p.add_argument("--multihost", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtpose_tpu.api import assemble, build_dataset_from_cfg
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.data import BatchLoader
+    from rtpose_tpu.engine import (create_train_state, get_root_logger,
+                                   load_checkpoint, make_eval_step, run_eval,
+                                   save_predictions)
+    from rtpose_tpu.parallel import make_mesh, process_count, process_index, replicate
+    from rtpose_tpu.solver import adam_one_cycle
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or os.path.dirname(os.path.abspath(args.checkpoint))
+    logger = get_root_logger(cfg.get("log_level", "INFO"))
+    asm = assemble(cfg)
+
+    split = "test" if args.testset else "val"
+    print("Use Test Set" if args.testset else "Use Val Set")
+    dataset = build_dataset_from_cfg(cfg.data, split,
+                                     max_poses=asm.target_spec.max_poses)
+    batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,
+                         drop_last=False, num_shards=process_count(),
+                         shard_id=process_index())
+
+    # template state (opt state is discarded; checkpoints store it too)
+    dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
+                               grad_clip_norm=None)
+    example = jnp.zeros((1, *asm.input_shape_zyxc), jnp.float32)
+    template = create_train_state(asm.model, dummy_opt, example)
+    state, meta = load_checkpoint(args.checkpoint, template)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    logger.info(f"Model parameter count: {n_params}")
+
+    mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
+    params = replicate(state.params, mesh)
+    eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec)
+    detections, sec_per_frame = run_eval(
+        eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
+        mesh=mesh, speed_test=args.speed_test, logger=logger)
+
+    if sec_per_frame is not None:
+        print(f"\n Total time per frame: {sec_per_frame}")
+
+    if jax.process_index() != 0:
+        return
+
+    os.makedirs(work_dir, exist_ok=True)
+    from rtpose_tpu.engine import resolve_checkpoint
+    ckpt_name = os.path.basename(
+        os.path.normpath(resolve_checkpoint(args.checkpoint))).split(".")[0]
+    save_predictions(detections, work_dir, ckpt_name,
+                     "test" if args.testset else "train")
+
+    result_dict, _ = dataset.evaluation(copy.deepcopy(detections),
+                                        output_dir=work_dir,
+                                        testset=args.testset)
+    for k, v in result_dict["results"].items():
+        print(f"Evaluation {k}: {v}")
+    seq_path = os.path.join(work_dir, ckpt_name,
+                            f"{ckpt_name}_seq_results_"
+                            f"{'test' if args.testset else 'train'}.json")
+    with open(seq_path, "w") as f:
+        json.dump(dict(sorted(result_dict["seq_results"].items())), f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

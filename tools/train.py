@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Train a radar/LiDAR pose detector.
+
+Same CLI surface as the reference ``tools/train.py`` (config path, work_dir,
+resume_from, seed, validate); the launcher/local_rank NCCL plumbing
+collapses into the JAX runtime (``jax.distributed.initialize`` for
+multi-host — SURVEY.md §2.9).
+"""
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config", help="train config file path")
+    p.add_argument("--work_dir", help="dir to save logs and models")
+    p.add_argument("--resume_from", help="checkpoint to resume from")
+    p.add_argument("--validate", action="store_true",
+                   help="evaluate on the val set during training")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--total_epochs", type=int, default=None,
+                   help="override cfg.total_epochs")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtpose_tpu.api import assemble, build_dataset_from_cfg
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.data import BatchLoader
+    from rtpose_tpu.engine import (Trainer, create_train_state, get_root_logger,
+                                   make_train_step)
+    from rtpose_tpu.parallel import make_mesh, process_count, process_index
+    from rtpose_tpu.solver import adam_one_cycle, make_one_cycle_fns
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or os.path.join(
+        "./work_dirs", os.path.basename(args.config)[:-3],
+        datetime.now().strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(cfg.get("log_level", "INFO"), work_dir=work_dir)
+
+    # config backup (reference: tools/train.py:150-152)
+    with open(os.path.join(work_dir, "exp_config.py"), "w") as f:
+        f.write(cfg.text)
+
+    if args.seed is not None:
+        logger.info(f"Set random seed to {args.seed}")
+        np.random.seed(args.seed)
+
+    asm = assemble(cfg)
+    total_epochs = args.total_epochs or int(cfg.total_epochs)
+
+    dataset = build_dataset_from_cfg(cfg.data, "train",
+                                     max_poses=asm.target_spec.max_poses)
+    per_host_bs = int(cfg.data["samples_per_gpu"]) * jax.local_device_count()
+    loader = BatchLoader(dataset, batch_size=per_host_bs, shuffle=True,
+                         num_shards=process_count(), shard_id=process_index(),
+                         seed=args.seed or 0)
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * total_epochs
+
+    lr_cfg = dict(cfg.lr_config)
+    lr_fn, mom_fn = make_one_cycle_fns(
+        total_steps, float(lr_cfg["lr_max"]),
+        tuple(lr_cfg.get("moms", (0.95, 0.85))),
+        float(lr_cfg.get("div_factor", 10.0)),
+        float(lr_cfg.get("pct_start", 0.4)))
+    from rtpose_tpu.solver import build_optimizer_from_cfg
+    optimizer = build_optimizer_from_cfg(cfg, total_steps)
+
+    rng = jax.random.PRNGKey(args.seed or 0)
+    example = jnp.zeros((1, *asm.input_shape_zyxc), jnp.float32)
+    state = create_train_state(asm.model, optimizer, example, rng)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    logger.info(f"Model parameter count: {n_params}")
+
+    train_step = make_train_step(asm.model, asm.head, asm.target_spec,
+                                 optimizer, lr_fn=lr_fn)
+    trainer = Trainer(
+        train_step, state, work_dir=work_dir, total_epochs=total_epochs,
+        lr_fn=lr_fn, mesh=make_mesh(),
+        log_interval=int(dict(cfg.log_config).get("interval", 20)),
+        checkpoint_interval=int(dict(cfg.checkpoint_config).get("interval", 5)),
+        meta=dict(config=cfg.text))
+    if args.resume_from or cfg.get("resume_from"):
+        trainer.resume(args.resume_from or cfg.resume_from)
+
+    eval_fn = None
+    val_loader = None
+    if args.validate:
+        val_dataset = build_dataset_from_cfg(cfg.data, "val",
+                                             max_poses=asm.target_spec.max_poses)
+        val_loader = BatchLoader(val_dataset, batch_size=per_host_bs,
+                                 shuffle=False, drop_last=False,
+                                 num_shards=process_count(),
+                                 shard_id=process_index())
+
+        from rtpose_tpu.engine import make_eval_step, run_eval
+        eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec)
+
+        def eval_fn(state, loader, epoch):
+            dets, _ = run_eval(eval_step, state.params, loader, asm.decode_spec,
+                               one_hm=asm.one_hm, mesh=trainer.mesh,
+                               logger=logger)
+            res, _ = val_dataset.evaluation(dets)
+            for k, v in res["results"].items():
+                logger.info(f"[val epoch {epoch}] {k}: {v:.2f}")
+
+    workflow = [tuple(w) for w in cfg.get("workflow", [("train", 1)])]
+    if args.validate and ("val", 1) not in workflow:
+        workflow.append(("val", 1))
+    trainer.run(loader, val_loader, workflow=workflow, eval_fn=eval_fn)
+    logger.info("training complete")
+
+
+if __name__ == "__main__":
+    main()
