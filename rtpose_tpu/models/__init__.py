@@ -9,3 +9,5 @@ from .readers import (
     PointPillarsScatter,
 )
 from .detectors import RadarPoseNet, build_detector
+from .necks import RPN
+from .voxelnet import VoxelNet
