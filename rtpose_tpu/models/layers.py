@@ -42,17 +42,30 @@ def conv3d(features: int, kernel: int = 3, stride: int = 1, bias: bool = True,
                    kernel_init=nn.initializers.he_normal())
 
 
-def group_norm(channels: int, num_groups: int = 8, name: str | None = None) -> nn.GroupNorm:
-    """GroupNorm(8) with the reference's one-group fallback for thin tensors.
+class GN(nn.Module):
+    """GroupNorm(8) with f32 statistics and compute-dtype output.
 
-    Statistics always accumulate in float32 (dtype=float32 below) regardless
-    of the bf16 compute dtype — the per-sample reduction spans the whole
-    ~160k-voxel volume and bf16 accumulation visibly drifts.  Callers cast
-    the result back to their compute dtype via the surrounding ops.
+    The per-sample reduction spans the whole ~160k-voxel volume, so
+    statistics accumulate in float32 regardless of the bf16 compute dtype —
+    but the OUTPUT is cast back to the input dtype: leaving GN outputs f32
+    doubles HBM traffic on every norm->conv edge of the network, and on TPU
+    this model is HBM-bandwidth-bound.
     """
+
+    num_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = nn.GroupNorm(num_groups=self.num_groups, dtype=jnp.float32,
+                           name="gn")(x)
+        return out.astype(x.dtype)
+
+
+def group_norm(channels: int, num_groups: int = 8, name: str | None = None) -> GN:
+    """GroupNorm(8) with the reference's one-group fallback for thin tensors."""
     if channels < num_groups:
         num_groups = 1
-    return nn.GroupNorm(num_groups=num_groups, name=name, dtype=jnp.float32)
+    return GN(num_groups=num_groups, name=name)
 
 
 class SingleConv(nn.Module):
