@@ -98,3 +98,65 @@ class AssignLabelPose2(_AssignBase):
     """Single pelvis heatmap, 45-dim regression (pose.py:346-541)."""
 
     mode = "one_hm"
+
+
+@PIPELINES.register_module
+class Preprocess:
+    """LiDAR preprocessing (pose.py:15-49 parity): transform points into the
+    radar frame with the L2R extrinsic, optionally shuffle."""
+
+    def __init__(self, cfg=None, **kwargs):
+        cfg = cfg or {}
+        self.shuffle_points = cfg.get("shuffle_points", False)
+        self.mode = cfg.get("mode", "train")
+
+    def __call__(self, item, info=None):
+        if "lidar_pc" not in item:
+            return item
+        points = np.asarray(item["lidar_pc"], np.float32)
+        p_l2r = np.asarray(item.get("P_L2R", np.eye(4)), np.float32)
+        homo = np.concatenate([points[:, :3], np.ones((len(points), 1), np.float32)], 1)
+        points = points.copy()
+        points[:, :3] = (p_l2r @ homo.T).T[:, :3]
+        if self.shuffle_points:
+            np.random.shuffle(points)
+        item["points"] = points
+        item["num_points"] = np.int32(len(points))
+        return item
+
+
+@PIPELINES.register_module
+class Voxelization:
+    """Host-side voxelization pipeline (pose.py:52-142 parity) over the
+    fixed-shape jnp voxelizer; pads/truncates the point list to a static
+    length first (TPU fixed shapes)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        from ..ops.voxelize import VoxelizerSpec
+        cfg = cfg or {}
+        max_voxels = cfg.get("max_voxel_num", 20000)
+        if isinstance(max_voxels, (list, tuple)):
+            max_voxels = max_voxels[0]
+        self.spec = VoxelizerSpec(
+            pc_range=tuple(cfg["range"]),
+            voxel_size=tuple(cfg["voxel_size"]),
+            max_points=int(cfg.get("max_points_in_voxel", 35)),
+            max_voxels=int(max_voxels))
+        self.max_num_points = int(cfg.get("max_num_points", 65536))
+
+    def __call__(self, item, info=None):
+        if "points" not in item:
+            return item
+        import jax.numpy as jnp
+        from ..ops.voxelize import voxelize
+        pts = np.asarray(item["points"], np.float32)
+        n = min(len(pts), self.max_num_points)
+        padded = np.zeros((self.max_num_points, pts.shape[1]), np.float32)
+        padded[:n] = pts[:n]
+        out = voxelize(jnp.asarray(padded), jnp.int32(n), self.spec)
+        item["voxels"] = np.asarray(out["voxels"])
+        item["coordinates"] = np.asarray(out["coors"])
+        item["num_points_per_voxel"] = np.asarray(out["num_points_per_voxel"])
+        item["num_voxels"] = np.asarray(out["num_voxels"])
+        item["grid_zyx"] = self.spec.grid_size_zyx
+        return item

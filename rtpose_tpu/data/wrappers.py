@@ -1,0 +1,44 @@
+"""Dataset wrappers (det3d/datasets/dataset_wrappers.py:7-60 parity)."""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+
+from ..registry import DATASETS
+
+
+@DATASETS.register_module
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+    def __getitem__(self, idx):
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        if ds_idx > 0:
+            idx = idx - self.cumulative_sizes[ds_idx - 1]
+        return self.datasets[ds_idx][idx]
+
+
+@DATASETS.register_module
+class RepeatDataset:
+    def __init__(self, dataset, times):
+        from .builder import build_dataset
+        self.dataset = (build_dataset(dataset) if isinstance(dataset, dict)
+                        else dataset)
+        self.times = times
+        self._ori_len = len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % self._ori_len]
+
+    def __len__(self):
+        return self.times * self._ori_len
