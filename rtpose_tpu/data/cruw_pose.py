@@ -94,7 +94,9 @@ class CRUWPoseDataset:
     NUM_JOINTS = 15
 
     def __init__(self, cfg: Dict[str, Any], label_file: str, class_names=None,
-                 pipeline=None, split: str = "train", max_poses: int = 1):
+                 pipeline=None, split: str = "train", max_poses: int = 1,
+                 use_native: bool = True):
+        self.use_native = use_native
         ds = cfg["DATASET"]
         self.cfg = cfg
         self.split = split
@@ -157,9 +159,23 @@ class CRUWPoseDataset:
     # ---------- per-item ----------
 
     def get_cube(self, seq: str, rdr_frame: str) -> np.ndarray:
-        """Load, ROI-crop, normalize. Returns channels-last (Z, Y, X, D)."""
+        """Load, ROI-crop, normalize. Returns channels-last (Z, Y, X, D).
+
+        Fast path: the native C++ loader (rtpose_tpu.native) fuses npy
+        decode + crop + normalize + transpose into one pass; numpy fallback
+        reproduces the reference's three-pass math exactly.
+        """
         path = os.path.join(self.root_dir, self.seq_id_to_name[seq],
                             self.rdr_dirname, f"{rdr_frame}.npy")
+        if self.use_native and self.with_doppler:
+            from .. import native
+            probe = native.probe(path)
+            if probe is not None and probe[0][0] > 0:
+                out = native.load_cube(path, self.geom.roi_idx,
+                                       self.norm_start, self.norm_scale,
+                                       probe[0][0], self.geom.grid_zyx)
+                if out is not None:
+                    return out
         arr = np.load(path).astype(np.float32)
         z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
         if self.with_doppler:
