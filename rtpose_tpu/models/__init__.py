@@ -11,3 +11,8 @@ from .readers import (
 from .detectors import RadarPoseNet, build_detector
 from .necks import RPN
 from .voxelnet import VoxelNet
+from .feat_transforms import PolarToCart
+from .second_stage import BEVFeatureExtractor
+from .roi_head import RoIHead, assign_roi_targets
+from .dcn_head import DCNSepHead, FeatureAdaption
+from .losses import jde_embedding_loss
