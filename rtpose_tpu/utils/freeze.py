@@ -21,21 +21,25 @@ def freeze_mask(params: Any, frozen_prefixes: Sequence[str]) -> Any:
     A leaf is frozen when any of ``frozen_prefixes`` appears in its
     '/'-joined key path (e.g. 'backbone_m' freezes the whole backbone).
     """
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
-    def trainable(path):
+    def trainable(path) -> bool:
         key = "/".join(str(getattr(p, "key", p)) for p in path)
         return not any(pref in key for pref in frozen_prefixes)
 
-    leaves = {id(leaf): trainable(path) for path, leaf in flat}
-    return jax.tree.map(lambda _: True, params) if not frozen_prefixes else \
-        jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(params),
-            [trainable(path) for path, _ in flat])
+    return jax.tree_util.tree_unflatten(
+        treedef, [trainable(path) for path, _ in flat])
 
 
 def split_frozen(optimizer: optax.GradientTransformation, params: Any,
                  frozen_prefixes: Sequence[str]) -> optax.GradientTransformation:
-    """Wrap an optimizer so frozen subtrees receive zero updates."""
+    """Wrap an optimizer so frozen subtrees receive zero updates.
+
+    (optax.masked alone passes masked leaves through UNchanged — the raw
+    gradient would still be applied; multi_transform routes frozen leaves
+    to set_to_zero instead.)
+    """
     mask = freeze_mask(params, frozen_prefixes)
-    return optax.masked(optimizer, mask)
+    labels = jax.tree.map(lambda t: "trainable" if t else "frozen", mask)
+    return optax.multi_transform(
+        {"trainable": optimizer, "frozen": optax.set_to_zero()}, labels)

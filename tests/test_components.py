@@ -173,11 +173,12 @@ class TestUtils:
         t = Timer()
         assert t.since_start() >= 0
 
-    def test_progressbar(self, capsys):
-        bar = ProgressBar(task_num=2)
+    def test_progressbar(self):
+        import io
+        buf = io.StringIO()
+        bar = ProgressBar(task_num=2, file=buf)
         bar.update(); bar.update()
-        out = capsys.readouterr().out
-        assert "2/2" in out
+        assert "2/2" in buf.getvalue()
 
     def test_freeze(self):
         import optax
