@@ -24,8 +24,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.fold_conv import FOLD, unfold_x
 from ..registry import HEADS
-from .layers import conv3d, group_norm
+from .layers import GroupNorm8, TorchConv3d
 from .losses import clamped_sigmoid, fast_focal_loss, reg_loss
 
 
@@ -37,6 +38,7 @@ class SepHead(nn.Module):
     final_kernel: int = 3
     init_bias: float = -2.19
     dtype: Any = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -44,20 +46,21 @@ class SepHead(nn.Module):
         for head, (classes, num_conv) in self.heads.items():
             h = x
             for i in range(num_conv - 1):
-                h = conv3d(self.head_conv, kernel=self.final_kernel,
-                           name=f"{head}_conv{i}", dtype=self.dtype)(h)
+                h = TorchConv3d(self.head_conv, kernel=self.final_kernel,
+                                name=f"{head}_conv{i}", dtype=self.dtype,
+                                folded=self.folded)(h)
                 h = nn.relu(h)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if "hm" in head else nn.initializers.zeros_init())
             # final projection always runs in f32: heatmap logits feed a
             # clamped sigmoid + log and regression feeds an L1 — bf16 tails
             # there cost accuracy for no measurable speed.
-            h = nn.Conv(classes, kernel_size=(self.final_kernel,) * 3,
-                        padding=((self.final_kernel // 2,) * 2,) * 3,
-                        use_bias=True, bias_init=bias_init,
-                        kernel_init=nn.initializers.he_normal(),
-                        dtype=jnp.float32,
-                        name=f"{head}_out")(h.astype(jnp.float32))
+            h = TorchConv3d(classes, kernel=self.final_kernel, use_bias=True,
+                            bias_init=bias_init, dtype=jnp.float32,
+                            folded=self.folded,
+                            name=f"{head}_out")(h.astype(jnp.float32))
+            if self.folded:
+                h = unfold_x(h)
             out[head] = h
         return out
 
@@ -77,6 +80,7 @@ class CenterHead(nn.Module):
     dataset: str = "cruw_pose"
     dcn_head: bool = False
     dtype: Any = None
+    fold_x: bool = True
 
     @property
     def num_classes(self) -> List[int]:
@@ -84,10 +88,13 @@ class CenterHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+        folded = self.fold_x and x.ndim == 5 and x.shape[-1] % FOLD == 0 \
+            and self.in_channels * FOLD == x.shape[-1]
         if self.in_channels != self.share_conv_channel:
-            h = group_norm(x.shape[-1], name="shared_gn")(x)
-            h = conv3d(self.share_conv_channel, kernel=3, bias=False,
-                       name="shared_conv", dtype=self.dtype)(h)
+            h = GroupNorm8(name="shared_gn", folded=folded)(x)
+            h = TorchConv3d(self.share_conv_channel, kernel=3, use_bias=False,
+                            name="shared_conv", dtype=self.dtype,
+                            folded=folded)(h)
             x = nn.relu(h)
         ret = []
         for ti, num_cls in enumerate(self.num_classes):
@@ -101,7 +108,7 @@ class CenterHead(nn.Module):
                 heads["hm"] = (num_cls, self.num_hm_conv)
                 ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,
                                    init_bias=self.init_bias, name=f"task{ti}",
-                                   dtype=self.dtype)(x))
+                                   dtype=self.dtype, folded=folded)(x))
         return ret
 
     # ---- loss / predict are pure functions of the module outputs ----

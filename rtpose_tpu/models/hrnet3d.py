@@ -21,9 +21,11 @@ import jax.numpy as jnp
 
 Dtype = Any
 
-from ..ops.interpolate import resize_trilinear_align_corners
+from ..ops.fold_conv import FOLD, fold_x, unfold_x
+from ..ops.interpolate import (resize_trilinear_align_corners,
+                               resize_trilinear_folded)
 from ..registry import BACKBONES
-from .layers import GNConv, ResNetBlock, conv3d
+from .layers import GNConv, ResNetBlock, TorchConv3d, canonical_dtype
 
 
 def _stage(num_modules=1, num_branches=2, num_blocks=(1, 1), num_channels=(32, 32)):
@@ -79,6 +81,7 @@ class HighResolutionModule(nn.Module):
     num_channels: Sequence[int]          # == num_inchannels (expansion 1)
     multi_scale_output: bool = True
     dtype: Dtype = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: List[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -88,7 +91,7 @@ class HighResolutionModule(nn.Module):
             out = x[0]
             for b in range(self.num_blocks[0]):
                 out = ResNetBlock(chans[0], name=f"branch0_block{b}",
-                                  dtype=self.dtype)(out)
+                                  dtype=self.dtype, folded=self.folded)(out)
             return [out]
 
         # branches
@@ -97,7 +100,7 @@ class HighResolutionModule(nn.Module):
             h = x[i]
             for b in range(self.num_blocks[i]):
                 h = ResNetBlock(chans[i], name=f"branch{i}_block{b}",
-                                dtype=self.dtype)(h)
+                                dtype=self.dtype, folded=self.folded)(h)
             feats.append(h)
 
         # fuse
@@ -114,8 +117,8 @@ class HighResolutionModule(nn.Module):
                     y = y + feats[j]
                 elif j > i:
                     up = GNConv(chans[i], kernel=1, name=f"fuse{i}_{j}",
-                                dtype=self.dtype)(feats[j])
-                    y = y + resize_trilinear_align_corners(up, feats[i].shape[1:4])
+                                dtype=self.dtype, folded=self.folded)(feats[j])
+                    y = y + self._resize(up, feats[i])
                 else:
                     y = y + self._down_chain(feats[j], j, i, chans)
             x_fuse.append(nn.relu(y))
@@ -128,8 +131,14 @@ class HighResolutionModule(nn.Module):
             last = k == i - j - 1
             h = GNConv(chans[i] if last else chans[j], kernel=3, stride=2,
                        relu=not last, name=f"fuse{i}_{j}_k{k}",
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, folded=self.folded)(h)
         return h
+
+    def _resize(self, x, target):
+        tz, ty, txf = target.shape[1:4]
+        if self.folded:
+            return resize_trilinear_folded(x, (tz, ty, txf * FOLD))
+        return resize_trilinear_align_corners(x, (tz, ty, txf))
 
 
 class HighResolution3DNet(nn.Module):
@@ -137,6 +146,7 @@ class HighResolution3DNet(nn.Module):
 
     cfg: Dict[str, Any]
     dtype: Dtype = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -144,7 +154,8 @@ class HighResolution3DNet(nn.Module):
         stage2 = cfg["stage2"]
 
         # layer1: full-res stem block lifting input channels to stage2 inplanes
-        x = ResNetBlock(cfg["stage2_inplanes"], name="layer1", dtype=self.dtype)(x)
+        x = ResNetBlock(cfg["stage2_inplanes"], name="layer1", dtype=self.dtype,
+                        folded=self.folded)(x)
 
         # ---- transition1 + stage2
         x_list = self._transition([cfg["stage2_inplanes"]],
@@ -177,6 +188,7 @@ class HighResolution3DNet(nn.Module):
                 num_channels=scfg["num_channels"],
                 name=f"{name}_m{m}",
                 dtype=self.dtype,
+                folded=self.folded,
             )(x_list)
         return x_list
 
@@ -194,7 +206,8 @@ class HighResolution3DNet(nn.Module):
                 if cur_ch[i] != pre_ch[i]:
                     src = y_list[0] if from_single else y_list[-1]
                     out.append(GNConv(cur_ch[i], kernel=3, stride=1, relu=True,
-                                      name=f"{name}_b{i}", dtype=self.dtype)(src))
+                                      name=f"{name}_b{i}", dtype=self.dtype,
+                                      folded=self.folded)(src))
                 else:
                     out.append(y_list[0] if from_single else y_list[i])
             else:
@@ -202,7 +215,8 @@ class HighResolution3DNet(nn.Module):
                 for j in range(i + 1 - n_pre):
                     outc = cur_ch[i] if j == i - n_pre else pre_ch[-1]
                     h = GNConv(outc, kernel=3, stride=2, relu=True,
-                               name=f"{name}_b{i}_j{j}", dtype=self.dtype)(h)
+                               name=f"{name}_b{i}_j{j}", dtype=self.dtype,
+                               folded=self.folded)(h)
                 out.append(h)
         return out
 
@@ -226,26 +240,54 @@ class HRNet3D(nn.Module):
     ds_factor: int = 1
     feat_transform: Optional[dict] = None
     dtype: Dtype = None
+    fold_x: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from .layers import canonical_dtype
+        """Returns the fused feature map.  In folded mode the OUTPUT STAYS
+        FOLDED — (B, Z, Y, X/4, 4C) — and the head unfolds after its final
+        convs (unfolding a 128-channel full-res tensor here would cost more
+        than the entire head)."""
         dtype = canonical_dtype(self.dtype)
         if dtype is not None:
             x = x.astype(dtype)
+        # fold needs every branch resolution X/8 to stay divisible by 4
+        folded = self.fold_x and (x.shape[3] % (8 * FOLD) == 0)
+        if folded:
+            x = fold_x(x)
         cfg = MODEL_CONFIGS[self.backbone_cfg]
-        feats = HighResolution3DNet(cfg, name="backbone", dtype=dtype)(x)
+        feats = HighResolution3DNet(cfg, name="backbone", dtype=dtype,
+                                    folded=folded)(x)
         top = feats[0]
         if self.final_fuse == "top":
             out = top
             if self.final_conv_in != self.final_conv_out:
-                out = conv3d(self.final_conv_out, kernel=1, name="final_conv",
-                             dtype=dtype)(out)
+                out = TorchConv3d(self.final_conv_out, kernel=1,
+                                  name="final_conv", dtype=dtype,
+                                  folded=folded)(out)
             return out
-        ups = [resize_trilinear_align_corners(f.astype(top.dtype), top.shape[1:4])
-               for f in feats[1:]]
+        if folded:
+            tz, ty, txf = top.shape[1:4]
+            ups = [resize_trilinear_folded(f.astype(top.dtype),
+                                           (tz, ty, txf * FOLD))
+                   for f in feats[1:]]
+        else:
+            ups = [resize_trilinear_align_corners(f.astype(top.dtype),
+                                                  top.shape[1:4])
+                   for f in feats[1:]]
         out = jnp.concatenate([top, *ups], axis=-1)
         if self.final_fuse == "conat_conv" and self.final_conv_in != self.final_conv_out:
-            out = conv3d(self.final_conv_out, kernel=1, name="final_conv",
-                         dtype=dtype)(out)
+            denom = FOLD if folded else 1
+            block_ch = [f.shape[-1] // denom for f in [top, *ups]]
+            # canonical (1,1,1,Cin,Cout) param shared by both layouts
+            w = self.param("final_conv_kernel", nn.initializers.he_normal(),
+                           (1, 1, 1, sum(block_ch), self.final_conv_out))
+            b = self.param("final_conv_bias", nn.initializers.zeros_init(),
+                           (self.final_conv_out,))
+            if folded:
+                from ..ops.fold_conv import conv3d_folded_concat
+                out = conv3d_folded_concat(out, w.astype(out.dtype), block_ch, b)
+            else:
+                from ..ops.fold_conv import conv3d_naive
+                out = conv3d_naive(out, w.astype(out.dtype), b)
         return out

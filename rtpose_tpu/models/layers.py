@@ -8,10 +8,16 @@ Structural parity with the reference blocks
 * ``ResNetBlock`` — 1x1 channel lift (identity when channels match) + two
   SingleConvs ('gcr' then 'gc') + residual + ReLU.
 
-TPU notes: tensors are (B, Z, Y, X, C) so the channel dim rides the 128-wide
-lane dimension; convs use explicit torch-style padding (pad 1 each side for
-k=3) so strided shapes match the reference exactly (XLA 'SAME' places pads
-differently for even sizes).
+TPU notes:
+
+* tensors are (B, Z, Y, X, C) so the channel dim rides the 128-wide lane
+  dimension; convs use explicit torch-style padding (pad k//2 each side) so
+  strided shapes match the reference exactly;
+* every layer supports the FOLDED layout (4 X-positions packed into
+  channels, see ``rtpose_tpu.ops.fold_conv``) — thin-channel 3-D convs
+  waste the 128-lane MXU, and the folded network runs its dominant convs
+  ~3x faster.  Parameters are identical between modes (canonical
+  (k, k, k, C, Co) kernels; folding happens at apply time).
 """
 
 from __future__ import annotations
@@ -19,13 +25,13 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-Dtype = Any
+from ..ops.fold_conv import (FOLD, conv3d_folded, conv3d_naive,
+                             group_norm_folded)
 
-# torch-equivalent explicit paddings
-PAD_K3 = ((1, 1), (1, 1), (1, 1))
-PAD_K1 = ((0, 0), (0, 0), (0, 0))
+Dtype = Any
 
 
 def canonical_dtype(dtype):
@@ -33,39 +39,76 @@ def canonical_dtype(dtype):
     return jnp.dtype(dtype) if isinstance(dtype, str) else dtype
 
 
-def conv3d(features: int, kernel: int = 3, stride: int = 1, bias: bool = True,
-           name: str | None = None, dtype: Dtype = None) -> nn.Conv:
-    dtype = canonical_dtype(dtype)
-    pad = PAD_K3 if kernel == 3 else PAD_K1
-    return nn.Conv(features, kernel_size=(kernel,) * 3, strides=(stride,) * 3,
-                   padding=pad, use_bias=bias, name=name, dtype=dtype,
-                   kernel_init=nn.initializers.he_normal())
+class TorchConv3d(nn.Module):
+    """Conv3d with torch padding/stride semantics, canonical params, and a
+    folded-layout fast path."""
 
-
-class GN(nn.Module):
-    """GroupNorm(8) with f32 statistics and compute-dtype output.
-
-    The per-sample reduction spans the whole ~160k-voxel volume, so
-    statistics accumulate in float32 regardless of the bf16 compute dtype —
-    but the OUTPUT is cast back to the input dtype: leaving GN outputs f32
-    doubles HBM traffic on every norm->conv edge of the network, and on TPU
-    this model is HBM-bandwidth-bound.
-    """
-
-    num_groups: int = 8
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    folded: bool = False
+    dtype: Dtype = None
+    bias_init: Callable = nn.initializers.zeros_init()
+    kernel_init: Callable = nn.initializers.he_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = nn.GroupNorm(num_groups=self.num_groups, dtype=jnp.float32,
-                           name="gn")(x)
+        dt = canonical_dtype(self.dtype)
+        cin = x.shape[-1] // (FOLD if self.folded else 1)
+        w = self.param("kernel", self.kernel_init,
+                       (self.kernel, self.kernel, self.kernel, cin, self.features))
+        b = (self.param("bias", self.bias_init, (self.features,))
+             if self.use_bias else None)
+        if dt is not None:
+            x = x.astype(dt)
+        if self.folded:
+            return conv3d_folded(x, w.astype(x.dtype),
+                                 None if b is None else b, self.stride)
+        return conv3d_naive(x, w.astype(x.dtype),
+                            None if b is None else b, self.stride)
+
+
+class GroupNorm8(nn.Module):
+    """GroupNorm with f32 statistics, compute-dtype output, torch eps, the
+    reference's one-group fallback for thin tensors, and a folded path that
+    reduces over fold lanes without relayout."""
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+    folded: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1] // (FOLD if self.folded else 1)
+        groups = self.num_groups if C >= self.num_groups else 1
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,))
+        if self.folded:
+            return group_norm_folded(x, scale, bias, groups, self.epsilon)
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        xg = x32.reshape(*x.shape[:-1], groups, C // groups)
+        # reduce over all spatial dims AND the within-group channel axis
+        # (axis x.ndim of the grouped view), NOT the groups axis
+        red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
+        out = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = out.reshape(x32.shape) * scale.astype(x32.dtype) + bias.astype(x32.dtype)
         return out.astype(x.dtype)
 
 
-def group_norm(channels: int, num_groups: int = 8, name: str | None = None) -> GN:
-    """GroupNorm(8) with the reference's one-group fallback for thin tensors."""
-    if channels < num_groups:
-        num_groups = 1
-    return GN(num_groups=num_groups, name=name)
+# back-compat helpers (older call sites / tests)
+def conv3d(features: int, kernel: int = 3, stride: int = 1, bias: bool = True,
+           name: str | None = None, dtype: Dtype = None,
+           folded: bool = False) -> TorchConv3d:
+    return TorchConv3d(features, kernel=kernel, stride=stride, use_bias=bias,
+                       name=name, dtype=dtype, folded=folded)
+
+
+def group_norm(channels: int, num_groups: int = 8, name: str | None = None,
+               folded: bool = False) -> GroupNorm8:
+    return GroupNorm8(num_groups=num_groups, name=name, folded=folded)
 
 
 class SingleConv(nn.Module):
@@ -77,6 +120,7 @@ class SingleConv(nn.Module):
     order: str = "gcr"
     num_groups: int = 8
     dtype: Dtype = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,13 +129,11 @@ class SingleConv(nn.Module):
         has_norm = "g" in order or "b" in order
         for i, ch in enumerate(order):
             if ch == "g":
-                # norm over input channels if it precedes the conv
-                before = i < order.index("c")
-                x = group_norm(x.shape[-1] if before else self.features,
-                               self.num_groups)(x)
+                x = GroupNorm8(self.num_groups, folded=self.folded)(x)
             elif ch == "c":
-                x = conv3d(self.features, self.kernel, self.stride,
-                           bias=not has_norm, dtype=self.dtype)(x)
+                x = TorchConv3d(self.features, kernel=self.kernel,
+                                stride=self.stride, use_bias=not has_norm,
+                                dtype=self.dtype, folded=self.folded)(x)
             elif ch == "r":
                 x = nn.relu(x)
             elif ch == "l":
@@ -112,25 +154,30 @@ class ResNetBlock(nn.Module):
     order: str = "gcr"
     use_downsample: bool = False  # GN + 1x1 strided conv on the residual
     dtype: Dtype = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if x.shape[-1] != self.features:
-            residual = conv3d(self.features, kernel=1, bias=True, name="conv1",
-                              dtype=self.dtype)(x)
+        cin = x.shape[-1] // (FOLD if self.folded else 1)
+        if cin != self.features:
+            residual = TorchConv3d(self.features, kernel=1, use_bias=True,
+                                   name="conv1", dtype=self.dtype,
+                                   folded=self.folded)(x)
         else:
             residual = x
         out = SingleConv(self.features, stride=self.stride, order=self.order,
-                         name="conv2", dtype=self.dtype)(residual)
+                         name="conv2", dtype=self.dtype,
+                         folded=self.folded)(residual)
         n_order = self.order
         for c in "rel":
             n_order = n_order.replace(c, "")
         out = SingleConv(self.features, order=n_order, name="conv3",
-                         dtype=self.dtype)(out)
+                         dtype=self.dtype, folded=self.folded)(out)
         if self.use_downsample:
-            r = group_norm(residual.shape[-1], name="down_gn")(residual)
-            r = nn.Conv(self.features, (1, 1, 1), strides=(self.stride,) * 3,
-                        padding=PAD_K1, use_bias=False, name="down_conv")(r)
+            r = GroupNorm8(name="down_gn", folded=self.folded)(residual)
+            r = TorchConv3d(self.features, kernel=1, stride=self.stride,
+                            use_bias=False, name="down_conv",
+                            dtype=self.dtype, folded=self.folded)(r)
             residual = r
         out = out + residual
         return nn.relu(out)
@@ -145,12 +192,14 @@ class GNConv(nn.Module):
     stride: int = 1
     relu: bool = False
     dtype: Dtype = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = group_norm(x.shape[-1])(x)
-        x = conv3d(self.features, self.kernel, self.stride, bias=False,
-                   dtype=self.dtype)(x)
+        x = GroupNorm8(folded=self.folded)(x)
+        x = TorchConv3d(self.features, kernel=self.kernel, stride=self.stride,
+                        use_bias=False, dtype=self.dtype,
+                        folded=self.folded)(x)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -1,24 +1,23 @@
 """Space-to-depth (fold-X) 3-D convolution — the MXU-saturating formulation.
 
 Measured on v5e: a stride-1 3x3x3 conv over the RT-Pose grid takes the SAME
-wall time for 32 output channels as for 128 (9.4 vs 36.7 vs 165.6 TFLOP/s
-for C32->C32 / C32->C128 / C128->C128) — the MXU is 128 lanes wide and
-thin-channel convs waste it.  This module reformulates a thin conv as an
-EXACT wide conv by folding 4 X-positions into channels:
+wall time for 32 output channels as for 128 (9.4 / 36.7 / 165.6 TFLOP/s for
+C32->C32 / C32->C128 / C128->C128) — the MXU is 128 lanes wide and
+thin-channel convs waste it.  Folding 4 X-positions into channels makes
+every conv 128-lane wide; a 6-conv chain measured 1.58 ms/conv folded vs
+4.52 ms/conv naive (2.9x) with the fold/unfold relayouts amortized at the
+network boundary.
 
-  x: (B, Z, Y, X, C)  --reshape-->  (B, Z, Y, X/4, 4C)
-  w: (3, 3, 3, C, Co) --rearrange-> (3, 3, 3, 4C, 4Co)  (2/3 zeros)
+The folded kernel is an EXACT rearrangement: output sub-position fo reading
+original tap d lands at folded tap s = floor((stride*fo + d)/4), input
+sub-lane fi = (stride*fo + d) mod 4.  The zero structure guarantees folded
+padding (4 zeros per cell) contributes exactly the original k//2-zero
+padding — boundary-exact, verified by tests for k in {1, 3}, stride in
+{1, 2}.
 
-Derivation: output sub-position fo reads input x + dx = 4(x' + s) + fi with
-s = floor((fo + dx)/4), fi = (fo + dx) mod 4, so original tap dx lands at
-folded tap s+1, input sub-lane fi, output sub-lane fo.  The folded kernel's
-zero structure guarantees the folded padding (4 zeros) contributes exactly
-the original padding (1 zero) — boundary-exact, verified by tests.
-
-Parameters stay in the canonical (3, 3, 3, C, Co) layout (checkpoints are
-identical to the naive path); the rearrangement is a tiny scatter at apply
-time and folds into the compiled program.  2.67x redundant FLOPs at ~4-17x
-better MXU rate; net ~4-6x on the network's dominant convs.
+Parameters stay in the canonical (kz, ky, kx, C, Co) layout (checkpoints
+identical to the naive path); the rearrangement is a tiny scatter folded
+into the compiled program.
 """
 
 from __future__ import annotations
@@ -34,46 +33,116 @@ FOLD = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _fold_scatter_indices(kx: int):
-    """For each (fo, dx): the folded tap s+pad and input sub-lane fi."""
+def _fold_entries(kx: int, stride: int):
+    """[(fo, dx, s, fi)] plus (s_min, s_max) for the folded X kernel."""
     entries = []
+    s_min, s_max = 0, 0
     for fo in range(FOLD):
         for dx in range(kx):
-            d = dx - kx // 2                      # signed offset
-            s = (fo + d) // FOLD                  # floor div
-            fi = (fo + d) % FOLD
-            entries.append((fo, dx, s + 1, fi))   # folded kernel has width 3
-    return entries
+            d = dx - kx // 2
+            pos = stride * fo + d
+            s = pos // FOLD
+            fi = pos % FOLD
+            entries.append((fo, dx, s, fi))
+            s_min = min(s_min, s)
+            s_max = max(s_max, s)
+    return entries, s_min, s_max
 
 
-def fold_weights_x4(w: jnp.ndarray) -> jnp.ndarray:
-    """(kz, ky, kx, C, Co) -> (kz, ky, 3, 4C, 4Co) folded kernel."""
+def fold_weights_x4(w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """(kz, ky, kx, C, Co) -> (kz, ky, Wf, 4C, 4Co) folded kernel."""
     kz, ky, kx, C, Co = w.shape
-    out = jnp.zeros((kz, ky, 3, FOLD, C, FOLD, Co), w.dtype)
-    for fo, dx, s, fi in _fold_scatter_indices(kx):
-        out = out.at[:, :, s, fi, :, fo, :].set(w[:, :, dx])
-    return out.reshape(kz, ky, 3, FOLD * C, FOLD * Co)
+    entries, s_min, s_max = _fold_entries(kx, stride)
+    width = s_max - s_min + 1
+    out = jnp.zeros((kz, ky, width, FOLD, C, FOLD, Co), w.dtype)
+    for fo, dx, s, fi in entries:
+        out = out.at[:, :, s - s_min, fi, :, fo, :].set(w[:, :, dx])
+    return out.reshape(kz, ky, width, FOLD * C, FOLD * Co)
 
 
-def conv3d_fold4(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
-                 ) -> jnp.ndarray:
-    """Stride-1 3-D conv with torch pad (k//2) via X-fold-4.
+def fold_weights_concat(w: jnp.ndarray, block_channels, stride: int = 1) -> jnp.ndarray:
+    """Folded kernel for an input that is a CONCAT of folded tensors.
 
-    x: (B, Z, Y, X, C) with X % 4 == 0; w: (kz, ky, kx, C, Co).
+    Concatenating folded tensors on the channel axis yields per-block
+    fi-major layout (folded index within block b = fi * C_b + c), NOT the
+    global fi-major layout — the folded weights must be built against that
+    structure.  ``w``: (kz, ky, kx, sum(block_channels), Co).
     """
-    B, Z, Y, X, C = x.shape
-    kz, ky, kx, _, Co = w.shape
-    assert X % FOLD == 0, X
-    xf = x.reshape(B, Z, Y, X // FOLD, FOLD * C)
-    wf = fold_weights_x4(w.astype(x.dtype))
-    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (1, 1)]
-    of = lax.conv_general_dilated(
-        xf, wf, (1, 1, 1), pad,
+    kz, ky, kx, C_total, Co = w.shape
+    assert sum(block_channels) == C_total, (block_channels, C_total)
+    entries, s_min, s_max = _fold_entries(kx, stride)
+    width = s_max - s_min + 1
+    Cf_in = FOLD * C_total
+    out = jnp.zeros((kz, ky, width, Cf_in, FOLD, Co), w.dtype)
+    off_f = 0   # offset in folded input channels
+    off_c = 0   # offset in original channels
+    for Cb in block_channels:
+        for fo, dx, s, fi in entries:
+            rows = off_f + fi * Cb + jnp.arange(Cb)
+            out = out.at[:, :, s - s_min, rows, fo, :].set(
+                w[:, :, dx, off_c : off_c + Cb, :])
+        off_f += FOLD * Cb
+        off_c += Cb
+    return out.reshape(kz, ky, width, Cf_in, FOLD * Co)
+
+
+def conv3d_folded_concat(xf: jnp.ndarray, w: jnp.ndarray, block_channels,
+                         bias: jnp.ndarray | None = None, stride: int = 1
+                         ) -> jnp.ndarray:
+    """conv3d_folded for a concat-of-folded-tensors input."""
+    kz, ky, kx, C_total, Co = w.shape
+    entries, s_min, s_max = _fold_entries(kx, stride)
+    wf = fold_weights_concat(w.astype(xf.dtype), tuple(block_channels), stride)
+    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
+    out = lax.conv_general_dilated(
+        xf, wf, (stride, stride, stride), pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    out = of.reshape(B, Z, Y, X, Co)
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        out = out + jnp.tile(bias, FOLD).astype(out.dtype)
     return out
+
+
+def fold_x(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, Z, Y, X, C) -> (B, Z, Y, X/4, 4C) (pure reshape)."""
+    B, Z, Y, X, C = x.shape
+    assert X % FOLD == 0, X
+    return x.reshape(B, Z, Y, X // FOLD, FOLD * C)
+
+
+def unfold_x(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, Z, Y, X', 4C) -> (B, Z, Y, 4X', C)."""
+    B, Z, Y, Xf, Cf = x.shape
+    assert Cf % FOLD == 0, Cf
+    return x.reshape(B, Z, Y, Xf * FOLD, Cf // FOLD)
+
+
+def conv3d_folded(xf: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
+                  stride: int = 1) -> jnp.ndarray:
+    """Conv on an already-folded tensor.
+
+    xf: (B, Z, Y, X', 4C); w: canonical (kz, ky, kx, C, Co).
+    Z/Y use torch padding k//2 and the given stride; X uses the folded
+    mapping (original pad kx//2, original stride ``stride``).
+    Returns (B, Z_out, Y_out, X'_out, 4Co).
+    """
+    kz, ky, kx, C, Co = w.shape
+    assert xf.shape[-1] == FOLD * C, (xf.shape, C)
+    entries, s_min, s_max = _fold_entries(kx, stride)
+    wf = fold_weights_x4(w.astype(xf.dtype), stride)
+    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
+    out = lax.conv_general_dilated(
+        xf, wf, (stride, stride, stride), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    if bias is not None:
+        out = out + jnp.tile(bias, FOLD).astype(out.dtype)
+    return out
+
+
+def conv3d_fold4(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
+                 stride: int = 1) -> jnp.ndarray:
+    """Fold -> conv -> unfold convenience wrapper (for testing; in the model
+    the whole network stays folded)."""
+    return unfold_x(conv3d_folded(fold_x(x), w, bias, stride))
 
 
 def conv3d_naive(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
@@ -87,3 +156,48 @@ def conv3d_naive(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def group_norm_folded(xf: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                      num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over ORIGINAL channel groups on a folded tensor.
+
+    Folded channel index = fi * C + c, so group membership depends only on
+    c = idx % C... (reshape (X, C) -> (X/4, 4C) interleaves as fi-major).
+    Statistics therefore reduce over (Z, Y, X', fold-lanes, group-channels):
+    computed as per-folded-channel moments (tiny (B, 4C) tensors) followed
+    by a grouped average — no relayout of the activation.
+    """
+    B = xf.shape[0]
+    Cf = xf.shape[-1]
+    C = Cf // FOLD
+    assert C % num_groups == 0 or num_groups == 1
+    gsize = C // num_groups if num_groups > 1 else C
+
+    dt = jnp.promote_types(xf.dtype, jnp.float32)
+    x32 = xf.astype(dt)
+    n_spatial = int(np.prod(xf.shape[1:-1]))
+    red = tuple(range(1, xf.ndim - 1))
+
+    # group id of folded channel idx: (idx % C) // gsize
+    c_of = jnp.arange(Cf) % C
+    gid = (c_of // gsize).astype(jnp.int32) if num_groups > 1 else jnp.zeros((Cf,), jnp.int32)
+    ng = num_groups if num_groups > 1 else 1
+    cnt = n_spatial * FOLD * gsize
+    shape = (B,) + (1,) * (xf.ndim - 2) + (Cf,)
+
+    # two-pass centered variance (E[x^2]-E[x]^2 cancels catastrophically)
+    s1 = jnp.sum(x32, axis=red)                               # (B, 4C)
+    gs1 = jnp.zeros((B, ng), dt).at[:, gid].add(s1)
+    mean = gs1 / cnt
+    mean_c = mean[:, gid]                                     # (B, 4C)
+    centered = x32 - mean_c.reshape(shape)
+    s2 = jnp.sum(jnp.square(centered), axis=red)
+    gs2 = jnp.zeros((B, ng), dt).at[:, gid].add(s2)
+    var = gs2 / cnt
+
+    inv = jax.lax.rsqrt(var + eps)[:, gid]
+    scale_f = jnp.tile(scale.astype(dt), FOLD)
+    bias_f = jnp.tile(bias.astype(dt), FOLD)
+    out = centered * (inv.reshape(shape) * scale_f) + bias_f
+    return out.astype(xf.dtype)

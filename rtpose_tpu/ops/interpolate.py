@@ -42,6 +42,38 @@ def interp_matrix(s_in: int, s_out: int) -> jnp.ndarray:
     return jnp.asarray(_interp_matrix_np(s_in, s_out))
 
 
+def resize_trilinear_folded(xf: jnp.ndarray, size_zyx: tuple[int, int, int],
+                            fold: int = 4) -> jnp.ndarray:
+    """Align-corners trilinear resize of an X-FOLDED tensor.
+
+    xf: (B, Z, Y, X_in/fold, fold*C); size_zyx is the ORIGINAL target size
+    (tx % fold == 0).  Z and Y resize as usual; the X resize mixes fold
+    lanes, expressed as one einsum over the (out-cell, out-lane, in-cell,
+    in-lane)-reshaped interpolation matrix — no unfold of the activation.
+    """
+    B, Z, Y, Xf, Cf = xf.shape
+    C = Cf // fold
+    X = Xf * fold
+    tz, ty, tx = size_zyx
+    assert tx % fold == 0, (tx, fold)
+    dt = xf.dtype
+    out = xf
+    # X first: it is the cheapest point (before Z/Y grow the tensor)
+    if X != tx:
+        w = interp_matrix(X, tx).astype(dt)                 # (tx, X)
+        wr = w.reshape(tx // fold, fold, Xf, fold)          # [o', fo, i', fi]
+        xs = out.reshape(B, Z, Y, Xf, fold, C)
+        out = jnp.einsum("ofig,bzyigc->bzyofc", wr, xs)
+        out = out.reshape(B, Z, Y, tx // fold, Cf)
+    if Z != tz:
+        wz = interp_matrix(Z, tz).astype(dt)
+        out = jnp.einsum("oz,bzyxc->boyxc", wz, out)
+    if Y != ty:
+        wy = interp_matrix(Y, ty).astype(dt)
+        out = jnp.einsum("oy,bzyxc->bzoxc", wy, out)
+    return out
+
+
 def resize_trilinear_align_corners(x: jnp.ndarray, size_zyx: tuple[int, int, int]) -> jnp.ndarray:
     """Resize (B, Z, Y, X, C) -> (B, *size_zyx, C), align_corners=True.
 

@@ -1,31 +1,41 @@
-"""Fold-X conv: exactness against the naive 3-D conv."""
+"""Fold-X machinery: exactness against naive conv / GroupNorm."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from rtpose_tpu.ops.fold_conv import conv3d_fold4, conv3d_naive
+from rtpose_tpu.ops.fold_conv import (conv3d_fold4, conv3d_naive, fold_x,
+                                      unfold_x, conv3d_folded,
+                                      group_norm_folded)
 
 
-@pytest.mark.parametrize("C,Co,k", [(4, 4, 3), (4, 8, 3), (8, 4, 1), (4, 4, 1)])
-def test_fold4_matches_naive(C, Co, k):
+@pytest.mark.parametrize("C,Co,k,stride", [
+    (4, 4, 3, 1), (4, 8, 3, 1), (8, 4, 1, 1), (4, 4, 1, 1),
+    (4, 4, 3, 2), (4, 8, 3, 2), (8, 8, 1, 2),
+])
+def test_fold4_matches_naive(C, Co, k, stride):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 4, 6, 16, C)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(k, k, k, C, Co)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
-    got = conv3d_fold4(x, w, b)
-    want = conv3d_naive(x, w, b)
+    got = conv3d_fold4(x, w, b, stride=stride)
+    want = conv3d_naive(x, w, b, stride=stride)
+    assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fold_unfold_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 2, 3, 8, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unfold_x(fold_x(x))), np.asarray(x))
+
+
 def test_boundary_exact():
-    """The folded padding must reproduce the original 1-voxel zero pad —
-    check a delta at the X edge."""
     x = np.zeros((1, 3, 3, 8, 2), np.float32)
-    x[0, 1, 1, 0, 0] = 1.0   # at x=0 edge
-    x[0, 1, 1, 7, 1] = 1.0   # at x=max edge
+    x[0, 1, 1, 0, 0] = 1.0
+    x[0, 1, 1, 7, 1] = 1.0
     w = jnp.asarray(np.random.default_rng(1).normal(size=(3, 3, 3, 2, 3)).astype(np.float32))
     got = conv3d_fold4(jnp.asarray(x), w)
     want = conv3d_naive(jnp.asarray(x), w)
@@ -37,8 +47,23 @@ def test_gradients_match():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 2, 4, 8, 4)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 4)).astype(np.float32))
-
     g1 = jax.grad(lambda w: jnp.sum(conv3d_fold4(x, w) ** 2))(w)
     g2 = jax.grad(lambda w: jnp.sum(conv3d_naive(x, w) ** 2))(w)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("C,groups", [(16, 8), (4, 1), (32, 8)])
+def test_group_norm_folded_matches_flax(C, groups):
+    import flax.linen as nn
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 8, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    want = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+
+    got = unfold_x(group_norm_folded(fold_x(x), scale, bias, groups))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
