@@ -53,8 +53,11 @@ def main():
         @jax.jit
         def run(params, x0):
             def body(carry, _):
-                preds = model.apply(params, carry)
-                d = preds[0]["hm"].astype(jnp.float32).sum() * 1e-20
+                # full inference: sparse-head forward + on-device decode
+                hm, reg_pk, ind = model.apply(params, carry,
+                                              method="predict_sparse")
+                d = (hm.astype(jnp.float32).sum()
+                     + reg_pk.astype(jnp.float32).sum()) * 1e-20
                 return carry + d, None
             xK, _ = lax.scan(body, x0, None, length=K)
             return xK[0, 0, 0, 0, 0] + xK.sum() * 0e0

@@ -101,6 +101,29 @@ def decode_pose_preds(hm_logits: jnp.ndarray, reg: jnp.ndarray, spec: DecodeSpec
     return kpts, scores, labels
 
 
+def decode_pose_sparse(hm_logits: jnp.ndarray, reg_at_peak: jnp.ndarray,
+                       peak_ind: jnp.ndarray, spec: DecodeSpec):
+    """Decode from the sparse head outputs (hm dense, reg only at the peak).
+
+    Produces exactly the same (kpts, scores, labels) as ``decode_pose_preds``
+    on dense predictions whose peak regression values match.
+    """
+    B, Z, Y, X, C = hm_logits.shape
+    K = reg_at_peak.shape[-1] // 3
+    hm = jax.nn.sigmoid(hm_logits.astype(jnp.float32)).reshape(B, Z * Y * X, C)
+    score = jnp.take_along_axis(hm[..., 0], peak_ind[:, None], axis=1)[:, 0]
+
+    z = (peak_ind // (Y * X)).astype(jnp.float32)
+    y = ((peak_ind % (Y * X)) // X).astype(jnp.float32)
+    x = (peak_ind % X).astype(jnp.float32)
+    base = jnp.stack([x, y, z], axis=-1)                     # (B, 3) xyz
+    off = reg_at_peak.astype(jnp.float32).reshape(B, K, 3)
+    kpts = _voxel_to_world(base[:, None, :] + off, spec)
+    scores = jnp.broadcast_to(score[:, None], (B, K))
+    labels = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+    return kpts, scores, labels
+
+
 def post_process_pose(kpts, scores, labels, spec: DecodeSpec, metas=None,
                       one_hm: bool = True):
     """Convert decoded device arrays into the reference's per-sample keypoint

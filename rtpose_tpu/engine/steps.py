@@ -105,8 +105,23 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     return train_step
 
 
-def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor") -> Callable:
-    """Forward + on-device decode; returns per-task (kpts, scores, labels)."""
+def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor",
+                   sparse: bool = False) -> Callable:
+    """Forward + on-device decode; returns per-task (kpts, scores, labels).
+
+    ``sparse=True`` (single-task one_hm configs): the reg tower runs only on
+    the receptive-field patch around each heatmap peak — exact, ~1.4x faster
+    inference (see RadarPoseNet.predict_sparse).
+    """
+    if sparse:
+        from ..core.decode import decode_pose_sparse
+
+        def eval_step(params, batch):
+            hm, reg_at_peak, peak_ind = model.apply(
+                params, batch[input_key], method="predict_sparse")
+            return [decode_pose_sparse(hm, reg_at_peak, peak_ind, decode_spec)]
+
+        return eval_step
 
     def eval_step(params, batch):
         preds = model.apply(params, batch[input_key])

@@ -41,15 +41,27 @@ class SepHead(nn.Module):
     folded: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, branch: str | None = None,
+                 folded: bool | None = None,
+                 inner_mask: jnp.ndarray | None = None) -> Dict[str, jnp.ndarray]:
+        """Compute all heads, or only ``branch``.  ``folded`` overrides the
+        field (the sparse-inference path feeds small UNFOLDED patches through
+        the same canonical params).  ``inner_mask`` zeroes intermediate
+        activations at positions outside the original volume so a patch
+        reproduces the dense path's inter-conv zero padding exactly."""
+        folded = self.folded if folded is None else folded
         out = {}
         for head, (classes, num_conv) in self.heads.items():
+            if branch is not None and head != branch:
+                continue
             h = x
             for i in range(num_conv - 1):
                 h = TorchConv3d(self.head_conv, kernel=self.final_kernel,
                                 name=f"{head}_conv{i}", dtype=self.dtype,
-                                folded=self.folded)(h)
+                                folded=folded)(h)
                 h = nn.relu(h)
+                if inner_mask is not None:
+                    h = h * inner_mask
             bias_init = (nn.initializers.constant(self.init_bias)
                          if "hm" in head else nn.initializers.zeros_init())
             # final projection always runs in f32: heatmap logits feed a
@@ -57,9 +69,9 @@ class SepHead(nn.Module):
             # there cost accuracy for no measurable speed.
             h = TorchConv3d(classes, kernel=self.final_kernel, use_bias=True,
                             bias_init=bias_init, dtype=jnp.float32,
-                            folded=self.folded,
+                            folded=folded,
                             name=f"{head}_out")(h.astype(jnp.float32))
-            if self.folded:
+            if folded:
                 h = unfold_x(h)
             out[head] = h
         return out
@@ -86,10 +98,18 @@ class CenterHead(nn.Module):
     def num_classes(self) -> List[int]:
         return [len(t["class_names"]) for t in self.tasks]
 
+    def _is_folded(self, x) -> bool:
+        return bool(self.fold_x and x.ndim == 5 and x.shape[-1] % FOLD == 0
+                    and self.in_channels * FOLD == x.shape[-1])
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
-        folded = self.fold_x and x.ndim == 5 and x.shape[-1] % FOLD == 0 \
-            and self.in_channels * FOLD == x.shape[-1]
+    def __call__(self, x: jnp.ndarray, branch: str | None = None,
+                 patch: bool = False,
+                 inner_mask: jnp.ndarray | None = None) -> List[Dict[str, jnp.ndarray]]:
+        """Full dense heads, or a single ``branch``; ``patch=True`` marks a
+        small unfolded input (sparse-inference reg patches) with
+        ``inner_mask`` carrying in-volume validity."""
+        folded = False if patch else self._is_folded(x)
         if self.in_channels != self.share_conv_channel:
             h = GroupNorm8(name="shared_gn", folded=folded)(x)
             h = TorchConv3d(self.share_conv_channel, kernel=3, use_bias=False,
@@ -108,7 +128,10 @@ class CenterHead(nn.Module):
                 heads["hm"] = (num_cls, self.num_hm_conv)
                 ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,
                                    init_bias=self.init_bias, name=f"task{ti}",
-                                   dtype=self.dtype, folded=folded)(x))
+                                   dtype=self.dtype, folded=folded)(
+                               x, branch=branch,
+                               folded=None if not patch else False,
+                               inner_mask=inner_mask))
         return ret
 
     # ---- loss / predict are pure functions of the module outputs ----

@@ -71,7 +71,8 @@ def main():
 
     mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
     params = replicate(state.params, mesh)
-    eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec)
+    eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
+                               sparse=asm.one_hm)
     detections, sec_per_frame = run_eval(
         eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
         mesh=mesh, speed_test=args.speed_test, logger=logger)
