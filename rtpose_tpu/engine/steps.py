@@ -58,19 +58,48 @@ def targets_from_batch(batch: Dict[str, jnp.ndarray], spec: PoseTargetSpec):
 def make_train_step(model, head, spec: PoseTargetSpec,
                     optimizer: optax.GradientTransformation,
                     lr_fn: Optional[Callable] = None,
-                    input_key: str = "rdr_tensor") -> Callable:
+                    input_key: str = "rdr_tensor",
+                    sparse_reg: bool = False) -> Callable:
     """Build the fused train step.
 
     ``head`` is the (unbound) CenterHead module — its ``loss`` uses only
     static fields so it can be called outside ``apply``.
+
+    ``sparse_reg`` (single-task one_hm configs): the regression tower runs
+    only on receptive-field patches at the TARGET indices — the reg loss
+    gathers exactly those voxels, so loss and gradients are identical to
+    the dense step while skipping ~40% of its conv work (forward AND
+    backward).
     """
+
+    def sparse_losses(params, batch, example):
+        from ..models.losses import clamped_sigmoid, fast_focal_loss
+        ind = example["ind"][0]
+        hm_logits, reg_at_ind = model.apply(params, batch[input_key], ind,
+                                            method="forward_sparse_train")
+        hm = clamped_sigmoid(hm_logits.astype(jnp.float32))
+        hm_loss = fast_focal_loss(hm, example["hm"][0], ind,
+                                  example["mask"][0], example["cat"][0])
+        maskf = example["mask"][0].astype(jnp.float32)[:, :, None]
+        target = example["anno_pose"][0]
+        l1 = jnp.abs(reg_at_ind.astype(jnp.float32) * maskf - target * maskf)
+        rl = jnp.sum(l1 / (jnp.sum(maskf) + 1e-4), axis=(0, 1))
+        code_w = jnp.asarray(head.code_weights, jnp.float32)
+        loc_loss = jnp.sum(rl * code_w)
+        loss = hm_loss + head.weight * loc_loss
+        return {"loss": [loss], "hm_loss": [hm_loss], "loc_loss": [loc_loss],
+                "loc_loss_elem": [rl],
+                "num_positive": [jnp.sum(example["mask"][0].astype(jnp.float32))]}
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         example = targets_from_batch(batch, spec)
 
         def loss_fn(params):
-            preds = model.apply(params, batch[input_key])
-            losses = head.loss(example, preds)
+            if sparse_reg:
+                losses = sparse_losses(params, batch, example)
+            else:
+                preds = model.apply(params, batch[input_key])
+                losses = head.loss(example, preds)
             total = jnp.sum(jnp.stack(losses["loss"]))
             return total, losses
 

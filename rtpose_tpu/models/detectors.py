@@ -63,36 +63,40 @@ class RadarPoseNet(nn.Module):
         preds = self(rdr_tensor)
         return self.head_m.loss(example, preds)
 
-    def predict_sparse(self, rdr_tensor: jnp.ndarray):
-        """Sparse single-peak inference: dense heatmap, reg tower evaluated
-        ONLY on the receptive-field patch around each sample's heatmap peak.
+    def forward_sparse_train(self, rdr_tensor: jnp.ndarray, ind: jnp.ndarray):
+        """Training forward with the reg tower evaluated only at the target
+        indices: the reg loss gathers predictions at ``ind`` (B, M) — dense
+        regression elsewhere contributes neither loss nor gradient, so this
+        is exactly the dense loss, minus ~40% of the step's conv work.
 
-        At decode time only the peak voxel's regression values are consumed
-        (center_head.py:349-355 in the reference), so computing the 45-dim
-        reg tower densely is dead work — on v5e it is ~40% of inference.
-        The patch evaluation is mathematically exact (k3+k3 convs -> 5^3
-        receptive field; boundary zeros reproduced by patch padding).
-
-        Supports the single-task, single-peak (one_hm) configuration.
-        Returns (hm (B, Z, Y, X, C) logits, reg_at_peak (B, D), peak_ind (B,)).
+        Returns (hm (B,Z,Y,X,C) logits, reg_at_ind (B, M, D)).
         """
         import jax
 
-        from ..ops.fold_conv import FOLD, unfold_x
-
         feat = self.extract_feat(rdr_tensor)
-        hm = self.head_m(feat, branch="hm")[0]["hm"]         # (B, Z, Y, X, C)
+        hm = self.head_m(feat, branch="hm")[0]["hm"]
         B, Z, Y, X, C = hm.shape
-        flat = jnp.argmax(hm.reshape(B, -1, C)[..., 0], axis=1)  # pelvis class
-        z = flat // (Y * X)
-        y = (flat % (Y * X)) // X
-        x = flat % X
+        M = ind.shape[1]
+        z = ind // (Y * X)
+        y = (ind % (Y * X)) // X
+        x = ind % X
+        flatB = lambda a: a.reshape(B * M)
+        feat_rep = jnp.repeat(
+            feat, M, axis=0) if M > 1 else feat
+        reg = self._reg_patches(feat_rep, flatB(z), flatB(y), flatB(x),
+                                (Z, Y, X))
+        return hm, reg.reshape(B, M, -1)
 
+    def _reg_patches(self, feat, z, y, x, zyx):
+        """Reg-tower values at voxel coords via 5^3 receptive-field patches."""
+        import jax
+
+        from ..ops.fold_conv import FOLD
+
+        Z, Y, X = zyx
         folded = feat.ndim == 5 and feat.shape[3] * FOLD == X
 
         def patch_of(featb, zi, yi, xi):
-            # receptive field 5^3 (two k3 convs); clamp-slice a slab, zero-pad
-            # by 2, then cut the exact window so out-of-volume taps are zero.
             if folded:
                 Xf = featb.shape[2]
                 cx = jnp.clip(xi // FOLD - 1, 0, Xf - 3)
@@ -110,19 +114,13 @@ class RadarPoseNet(nn.Module):
                      jnp.clip(xi - 2, 0, X - 5), 0),
                     (5, 5, 5, featb.shape[-1]))
                 x_base = jnp.clip(xi - 2, 0, X - 5)
-            pad = [(2, 2), (2, 2), (2, 2), (0, 0)]
-            slab = jnp.pad(slab, pad)
+            slab = jnp.pad(slab, [(2, 2), (2, 2), (2, 2), (0, 0)])
             start = (zi - 2 - jnp.clip(zi - 2, 0, Z - 5) + 2,
                      yi - 2 - jnp.clip(yi - 2, 0, Y - 5) + 2,
                      xi - 2 - x_base + 2, 0)
             return jax.lax.dynamic_slice(slab, start,
                                          (5, 5, 5, slab.shape[-1]))
 
-        patches = jax.vmap(patch_of)(feat, z, y, x)          # (B, 5,5,5, C')
-
-        # in-volume validity per patch position: the dense path zero-pads
-        # the INTERMEDIATE activation at the volume edge; recomputed patch
-        # values there must be masked to reproduce it exactly.
         def mask_of(zi, yi, xi):
             pz = zi - 2 + jnp.arange(5)
             py = yi - 2 + jnp.arange(5)
@@ -132,10 +130,33 @@ class RadarPoseNet(nn.Module):
             mx = ((px >= 0) & (px < X))[None, None, :]
             return (mz & my & mx)[..., None]
 
+        patches = jax.vmap(patch_of)(feat, z, y, x)
         masks = jax.vmap(mask_of)(z, y, x).astype(patches.dtype)
         reg_p = self.head_m(patches, branch="reg", patch=True,
                             inner_mask=masks)[0]["reg"]
-        reg_at_peak = reg_p[:, 2, 2, 2, :]                    # (B, D)
+        return reg_p[:, 2, 2, 2, :]
+
+    def predict_sparse(self, rdr_tensor: jnp.ndarray):
+        """Sparse single-peak inference: dense heatmap, reg tower evaluated
+        ONLY on the receptive-field patch around each sample's heatmap peak.
+
+        At decode time only the peak voxel's regression values are consumed
+        (center_head.py:349-355 in the reference), so computing the 45-dim
+        reg tower densely is dead work — on v5e it is ~40% of inference.
+        The patch evaluation is mathematically exact (k3+k3 convs -> 5^3
+        receptive field; boundary zeros reproduced by patch padding).
+
+        Supports the single-task, single-peak (one_hm) configuration.
+        Returns (hm (B, Z, Y, X, C) logits, reg_at_peak (B, D), peak_ind (B,)).
+        """
+        feat = self.extract_feat(rdr_tensor)
+        hm = self.head_m(feat, branch="hm")[0]["hm"]         # (B, Z, Y, X, C)
+        B, Z, Y, X, C = hm.shape
+        flat = jnp.argmax(hm.reshape(B, -1, C)[..., 0], axis=1)  # pelvis class
+        z = flat // (Y * X)
+        y = (flat % (Y * X)) // X
+        x = flat % X
+        reg_at_peak = self._reg_patches(feat, z, y, x, (Z, Y, X))
         return hm, reg_at_peak, flat
 
 

@@ -77,3 +77,47 @@ def test_sparse_boundary_peak():
                                    rtol=1e-4, atol=1e-4)
         found += 1
     assert found == 8
+
+
+def test_sparse_train_step_matches_dense():
+    """Loss and gradients of the sparse-reg train step equal the dense step."""
+    from rtpose_tpu.core.targets import PoseTargetSpec
+    from rtpose_tpu.engine import create_train_state, make_train_step
+    from rtpose_tpu.solver import adam_one_cycle
+
+    Z, Y, X = GRID
+    model, head = flagship_tiny(True)
+    spec = PoseTargetSpec(grid_zyx=GRID, pc_range_min_xyz=(0.0, -2.0, -1.0),
+                          voxel_size_xyz=(0.1, 0.25, 0.25), max_poses=1,
+                          min_radius=2, mode="one_hm", num_classes=1)
+    rng = np.random.default_rng(0)
+    B = 2
+    pelvis_world = np.array([0.8, 0.0, 0.0], np.float32)  # inside grid
+    poses = np.tile(pelvis_world, (B, 1, 15, 1)).astype(np.float32)
+    poses += rng.normal(scale=0.05, size=poses.shape).astype(np.float32)
+    batch = {
+        "rdr_tensor": jnp.asarray(rng.normal(size=(B, Z, Y, X, 32)).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "num_poses": jnp.ones((B,), jnp.int32),
+    }
+    opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                         grad_clip_norm=None)
+    state = create_train_state(model, opt, batch["rdr_tensor"])
+
+    dense_step = jax.jit(make_train_step(model, head, spec, opt,
+                                         sparse_reg=False))
+    sparse_step = jax.jit(make_train_step(model, head, spec, opt,
+                                          sparse_reg=True))
+    sd, md = dense_step(state, batch)
+    ss, ms = sparse_step(state, batch)
+    assert float(md["loss"]) == pytest.approx(float(ms["loss"]), rel=1e-4)
+    assert float(md["hm_loss"]) == pytest.approx(float(ms["hm_loss"]), rel=1e-4)
+    assert float(md["loc_loss"]) == pytest.approx(float(ms["loc_loss"]), rel=1e-4)
+    # updated params match (up to adam knife-edges on ~zero grads)
+    nbig = total = 0
+    for a, b in zip(jax.tree.leaves(sd.params), jax.tree.leaves(ss.params)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        total += d.size
+        nbig += int((d > 1e-5).sum())
+        assert d.max() <= 2.05e-3, d.max()
+    assert nbig / total < 5e-3

@@ -91,7 +91,8 @@ def main():
     logger.info(f"Model parameter count: {n_params}")
 
     train_step = make_train_step(asm.model, asm.head, asm.target_spec,
-                                 optimizer, lr_fn=lr_fn)
+                                 optimizer, lr_fn=lr_fn,
+                                 sparse_reg=asm.one_hm)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
         lr_fn=lr_fn, mesh=make_mesh(),
