@@ -2,3 +2,4 @@ from .timer import Timer
 from .progressbar import ProgressBar
 from .flops import count_parameters, estimate_flops
 from .freeze import freeze_mask, split_frozen
+from .fileio import load as load_file, dump as dump_file
