@@ -29,6 +29,95 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NORTH_STAR = 5000.0
 
 
+def measure_train(asm, np, B=8, k_lo=2, k_hi=4):
+    """Sparse-reg train steps/sec via chained scan (state threads the chain)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rtpose_tpu.engine import create_train_state, make_train_step
+    from rtpose_tpu.solver import adam_one_cycle, make_one_cycle_fns
+
+    z, y, x, c = asm.input_shape_zyxc
+    rng = np.random.default_rng(0)
+    pelvis = np.asarray(asm.target_spec.pc_range_min_xyz, np.float32) + \
+        np.array([1.0, 2.0, 1.0], np.float32)
+    batch = {
+        "rdr_tensor": jax.device_put(rng.normal(size=(B, z, y, x, c)).astype(np.float32)),
+        "poses": jax.device_put(np.tile(pelvis, (B, 1, 15, 1)).astype(np.float32)),
+        "num_poses": jax.device_put(np.ones((B,), np.int32)),
+    }
+    float(batch["rdr_tensor"].sum())
+    lr_fn, mom_fn = make_one_cycle_fns(1000, 2e-3)
+    opt = adam_one_cycle(lr_fn, mom_fn)
+    state = create_train_state(asm.model, opt, jnp.zeros((1, z, y, x, c)))
+    step = make_train_step(asm.model, asm.head, asm.target_spec, opt,
+                           lr_fn=lr_fn, sparse_reg=True)
+
+    def chained(K):
+        @jax.jit
+        def run(state, batch):
+            def body(s, _):
+                s2, m = step(s, batch)
+                return s2, m["loss"]
+            s2, losses = lax.scan(body, state, None, length=K)
+            return losses[-1]
+        return run
+
+    ts = {}
+    for K in (k_lo, k_hi):
+        g = chained(K)
+        float(g(state, batch))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(g(state, batch))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return (k_hi - k_lo) / (ts[k_hi] - ts[k_lo])
+
+
+def measure_preprocess(np, B=16, k_lo=2, k_hi=8):
+    """Fused Pallas crop+normalize throughput on raw full cubes."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rtpose_tpu.ops.preprocess import fused_preprocess
+
+    ROI = (4, 19, 32, 95, 17, 176)
+    raw = jax.device_put(np.random.default_rng(0)
+                         .random((B, 32, 32, 128, 256)).astype(np.float32))
+    float(raw.sum())
+
+    def chained(K):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                out = jax.vmap(lambda v: fused_preprocess(v, ROI, 0.0, 10.0))(c)
+                return c + (out.sum() * 1e-20).astype(c.dtype), None
+            xK, _ = lax.scan(body, x, None, length=K)
+            return xK[0, 0, 0, 0, 0]
+        return run
+
+    ts = {}
+    for K in (k_lo, k_hi):
+        g = chained(K)
+        float(g(raw))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(g(raw))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    per = (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+    return B / per
+
+
 def main():
     import jax
 
@@ -86,6 +175,21 @@ def main():
         results[B] = fps
         print(f"# batch={B}: {fps:.1f} frames/s ({1000 * per_iter:.2f} ms/fwd)",
               file=sys.stderr)
+
+    # ---- secondary metrics (BASELINE.json configs), stderr only ----
+    try:
+        train_sps = measure_train(asm, np)
+        print(f"# train: {train_sps:.2f} steps/s "
+              f"({train_sps * 8:.1f} samples/s, batch 8, sparse-reg)",
+              file=sys.stderr)
+    except Exception as e:  # secondary metrics must never break the bench
+        print(f"# train bench skipped: {e!r:.120}", file=sys.stderr)
+    try:
+        pp = measure_preprocess(np)
+        print(f"# preprocess (Pallas fused crop+norm): {pp:.0f} frames/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# preprocess bench skipped: {e!r:.120}", file=sys.stderr)
 
     best = max(results.values())
     print(json.dumps({

@@ -8,7 +8,7 @@ Used by tools/train.py, tools/test.py, bench.py and __graft_entry__.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 from .core.decode import DecodeSpec
 from .core.targets import PoseTargetSpec

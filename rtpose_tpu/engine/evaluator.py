@@ -10,10 +10,9 @@ edges, gather across hosts, and hand the merged dict to
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 
 from ..core.decode import post_process_pose
 from ..parallel import all_gather_objects, shard_batch

@@ -18,7 +18,6 @@ reference pipeline path) are used instead when the batch already carries
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
