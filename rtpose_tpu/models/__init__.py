@@ -16,3 +16,4 @@ from .second_stage import BEVFeatureExtractor
 from .roi_head import RoIHead, assign_roi_targets
 from .dcn_head import DCNSepHead, FeatureAdaption
 from .losses import jde_embedding_loss
+from .distillation import Distillation

@@ -204,3 +204,64 @@ class TestWrappers:
         rep = RepeatDataset(Tiny(3, 0), times=3)
         assert len(rep) == 9
         assert rep[7] == 1
+
+
+class TestDistillation:
+    def test_forward_and_loss(self):
+        import jax
+        import jax.numpy as jnp
+        from rtpose_tpu.models import build_detector
+        from rtpose_tpu.ops.voxelize import VoxelizerSpec, voxelize
+        import numpy as np
+
+        grid = (4, 8, 8)
+        head = dict(type="CenterHead",
+                    tasks=[dict(num_class=1, class_names=["Pelvis"])],
+                    in_channels=64, share_conv_channel=64,
+                    common_heads={"reg": (45, 2)}, weight=0.5,
+                    code_weights=[1.0] * 45)
+        backbone = dict(type="HRNet3D", backbone_cfg="hr_tiny_feat16_zyx_l4",
+                        final_conv_in=176, final_conv_out=64,
+                        final_fuse="conat_conv")
+        cfg = dict(
+            type="Distillation",
+            student=dict(type="RadarPoseNet",
+                         reader=dict(type="RadarFeatureNet"),
+                         backbone=dict(backbone), pose_head=dict(head),
+                         neck=None),
+            teacher=dict(type="VoxelNet",
+                         reader=dict(type="VoxelFeatureExtractorV3",
+                                     num_input_features=4),
+                         backbone=dict(backbone), pose_head=dict(head),
+                         neck=None, grid_zyx=grid),
+        )
+        model = build_detector(cfg)
+        rng = np.random.default_rng(0)
+        radar = {"rdr_tensor": jnp.asarray(
+            rng.normal(size=(1, *grid, 1)).astype(np.float32))}
+        spec = VoxelizerSpec(pc_range=(0, -2, -1, 4, 2, 1),
+                             voxel_size=(0.5, 0.5, 0.5), max_points=4,
+                             max_voxels=16)
+        pts = rng.uniform([0, -2, -1, 0], [4, 2, 1, 1], size=(1, 32, 4)).astype(np.float32)
+        vox = jax.vmap(lambda p: voxelize(p, jnp.int32(32), spec))(jnp.asarray(pts))
+        lidar = dict(voxels=vox["voxels"],
+                     num_points_per_voxel=vox["num_points_per_voxel"],
+                     coors=vox["coors"], num_voxels=vox["num_voxels"])
+        params = model.init(jax.random.PRNGKey(0), radar, lidar)
+        s_preds, t_preds, s_feat, t_feat = model.apply(params, radar, lidar)
+        assert s_preds[0]["hm"].shape == t_preds[0]["hm"].shape
+
+        loss = model.apply(params, s_preds, t_preds, s_feat, t_feat,
+                           method="distill_loss")
+        assert np.isfinite(float(loss))
+
+
+class TestConfigTool:
+    def test_downsample_factor(self):
+        from rtpose_tpu.utils.config_tool import get_downsample_factor
+        cfg = dict(neck=dict(ds_layer_strides=[2, 2, 2],
+                             us_layer_strides=[1, 2, 4]),
+                   backbone=dict(ds_factor=1))
+        assert get_downsample_factor(cfg) == 2
+        assert get_downsample_factor(dict(neck=None,
+                                          backbone=dict(ds_factor=1))) == 1
