@@ -87,7 +87,7 @@ def measure_preprocess(np, B=16, k_lo=2, k_hi=8):
     import jax.numpy as jnp
     from jax import lax
 
-    from rtpose_tpu.ops.preprocess import fused_preprocess
+    from rtpose_tpu.ops.preprocess import fused_preprocess_batch
 
     ROI = (4, 19, 32, 95, 17, 176)
     raw = jax.device_put(np.random.default_rng(0)
@@ -98,7 +98,7 @@ def measure_preprocess(np, B=16, k_lo=2, k_hi=8):
         @jax.jit
         def run(x):
             def body(c, _):
-                out = jax.vmap(lambda v: fused_preprocess(v, ROI, 0.0, 10.0))(c)
+                out = fused_preprocess_batch(c, ROI, 0.0, 10.0)
                 return c + (out.sum() * 1e-20).astype(c.dtype), None
             xK, _ = lax.scan(body, x, None, length=K)
             return xK[0, 0, 0, 0, 0]

@@ -101,11 +101,63 @@ def fused_preprocess(cube: jnp.ndarray,
     )(cube)
 
 
+def _make_batch_kernel(z0, y0, x0, yo, xo, norm_start, inv_scale, in_dtype):
+    def kernel(cube_hbm, out_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        D = cube_hbm.shape[1]
+        X = cube_hbm.shape[4]
+
+        def inner(scratch, sem):
+            dma = pltpu.make_async_copy(
+                cube_hbm.at[b, :, z0 + i, pl.ds(y0, yo), :], scratch, sem)
+            dma.start()
+            dma.wait()
+            x = scratch[:, :, x0 : x0 + xo].astype(jnp.float32)
+            x = (x - norm_start) * inv_scale
+            x = jnp.maximum(x, 0.0)
+            out_ref[0, 0] = jnp.transpose(x, (1, 2, 0))
+
+        pl.run_scoped(
+            inner,
+            scratch=pltpu.VMEM((D, yo, X), in_dtype),
+            sem=pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("roi_idx", "norm_start", "norm_scale"))
+def fused_preprocess_batch(cubes: jnp.ndarray,
+                           roi_idx: Tuple[int, int, int, int, int, int],
+                           norm_start: float, norm_scale: float) -> jnp.ndarray:
+    """Batched Pallas path: (B, D, Z, Y, X) -> (B, Z', Y', X', D).
+
+    Grid (B, Z') — Pallas cannot vmap an ANY-memory-space kernel, so the
+    batch dimension rides the grid instead.
+    """
+    B, D, Z, Y, X = cubes.shape
+    z0, z1, y0, y1, x0, x1 = roi_idx
+    zo, yo, xo = z1 - z0 + 1, y1 - y0 + 1, x1 - x0 + 1
+    if cubes.dtype == jnp.float16:
+        return jax.vmap(lambda c: preprocess_reference(
+            c, roi_idx, norm_start, norm_scale))(cubes)
+    kernel = _make_batch_kernel(z0, y0, x0, yo, xo, float(norm_start),
+                                1.0 / float(norm_scale), cubes.dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, zo, yo, xo, D), jnp.float32),
+        grid=(B, zo),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, yo, xo, D), lambda b, i: (b, i, 0, 0, 0)),
+    )(cubes)
+
+
 def preprocess_batch(cubes: jnp.ndarray, roi_idx, norm_start: float,
                      norm_scale: float, use_pallas: bool = True) -> jnp.ndarray:
     """(B, D, Z, Y, X) raw -> (B, Z', Y', X', D); Pallas on TPU, XLA elsewhere."""
     if use_pallas and jax.default_backend() == "tpu":
-        f = lambda c: fused_preprocess(c, tuple(roi_idx), norm_start, norm_scale)
-    else:
-        f = lambda c: preprocess_reference(c, tuple(roi_idx), norm_start, norm_scale)
+        return fused_preprocess_batch(cubes, tuple(roi_idx), norm_start,
+                                      norm_scale)
+    f = lambda c: preprocess_reference(c, tuple(roi_idx), norm_start, norm_scale)
     return jax.vmap(f)(cubes)

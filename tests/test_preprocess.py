@@ -49,3 +49,15 @@ class TestFusedPallas:
         with pltpu.force_tpu_interpret_mode():
             got = fused_preprocess(cube, ROI, 2.0, 8.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3)
+
+
+class TestFusedBatch:
+    def test_interpret_matches_reference(self):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+        from rtpose_tpu.ops.preprocess import fused_preprocess_batch
+        cubes = jnp.asarray(np.stack([_raw(), _raw()]))
+        want = jax.vmap(lambda c: preprocess_reference(c, ROI, 2.0, 8.0))(cubes)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_preprocess_batch(cubes, ROI, 2.0, 8.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
