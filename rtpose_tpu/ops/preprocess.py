@@ -101,28 +101,53 @@ def fused_preprocess(cube: jnp.ndarray,
     )(cube)
 
 
-def _make_batch_kernel(z0, y0, x0, yo, xo, norm_start, inv_scale, in_dtype):
-    def kernel(cube_hbm, out_ref):
+def _make_batch_kernel(z0, y0, x0, yo, xo, zo, norm_start, inv_scale, in_dtype):
+    """Double-buffered: while slab k computes, slab k+1 streams HBM->VMEM.
+
+    The grid walks (batch, z-slab) in row-major order, so the 'next' slab of
+    the flat index is either the next z of the same sample or z0 of the next
+    sample — both expressible as .at[] slices of the HBM ref.
+    """
+    yh = yo // 2  # half-Y slabs keep 2x-buffered VMEM under the 16MB budget
+
+    def kernel(cube_hbm, out_ref, scratch, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
-        D = cube_hbm.shape[1]
-        X = cube_hbm.shape[4]
+        j = pl.program_id(2)
+        B = pl.num_programs(0)
 
-        def inner(scratch, sem):
-            dma = pltpu.make_async_copy(
-                cube_hbm.at[b, :, z0 + i, pl.ds(y0, yo), :], scratch, sem)
-            dma.start()
-            dma.wait()
-            x = scratch[:, :, x0 : x0 + xo].astype(jnp.float32)
-            x = (x - norm_start) * inv_scale
-            x = jnp.maximum(x, 0.0)
-            out_ref[0, 0] = jnp.transpose(x, (1, 2, 0))
+        def slab(bb, zz, jj):
+            return cube_hbm.at[bb, :, z0 + zz, pl.ds(y0 + jj * yh, yh), :]
 
-        pl.run_scoped(
-            inner,
-            scratch=pltpu.VMEM((D, yo, X), in_dtype),
-            sem=pltpu.SemaphoreType.DMA,
-        )
+        def start(slot, bb, zz, jj):
+            pltpu.make_async_copy(slab(bb, zz, jj), scratch.at[slot],
+                                  sems.at[slot]).start()
+
+        flat = (b * zo + i) * 2 + j
+        slot = jax.lax.rem(flat, 2)
+        nxt_slot = jax.lax.rem(flat + 1, 2)
+
+        # warm-up: the very first program starts its own slab
+        @pl.when(flat == 0)
+        def _():
+            start(slot, b, i, j)
+
+        # prefetch the next slab (if any) before waiting on ours
+        nj = jnp.where(j + 1 < 2, j + 1, 0)
+        carry_i = (j + 1 >= 2).astype(jnp.int32)
+        ni = jnp.where(i + carry_i < zo, i + carry_i, 0)
+        nb = jnp.where(i + carry_i < zo, b, b + 1)
+
+        @pl.when(flat + 1 < B * zo * 2)
+        def _():
+            start(nxt_slot, nb, ni, nj)
+
+        pltpu.make_async_copy(slab(b, i, j), scratch.at[slot],
+                              sems.at[slot]).wait()
+        x = scratch[slot, :, :, x0 : x0 + xo].astype(jnp.float32)
+        x = (x - norm_start) * inv_scale
+        x = jnp.maximum(x, 0.0)
+        out_ref[0, 0] = jnp.transpose(x, (1, 2, 0))
 
     return kernel
 
@@ -142,14 +167,18 @@ def fused_preprocess_batch(cubes: jnp.ndarray,
     if cubes.dtype == jnp.float16:
         return jax.vmap(lambda c: preprocess_reference(
             c, roi_idx, norm_start, norm_scale))(cubes)
-    kernel = _make_batch_kernel(z0, y0, x0, yo, xo, float(norm_start),
+    assert yo % 2 == 0, yo
+    kernel = _make_batch_kernel(z0, y0, x0, yo, xo, zo, float(norm_start),
                                 1.0 / float(norm_scale), cubes.dtype)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, zo, yo, xo, D), jnp.float32),
-        grid=(B, zo),
+        grid=(B, zo, 2),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 1, yo, xo, D), lambda b, i: (b, i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, yo // 2, xo, D),
+                               lambda b, i, j: (b, i, j, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((2, D, yo // 2, X), cubes.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
     )(cubes)
 
 
