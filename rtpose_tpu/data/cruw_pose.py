@@ -105,8 +105,10 @@ class CRUWPoseDataset:
         self.root_dir = ds["DIR"]["ROOT_DIR"]
         self.rdr_type = ds.get("RDR_TYPE", "zyx_real")
         self.with_doppler = "d" in self.rdr_type
-        self.rdr_dirname = ds["DIR"].get(
-            "RDR_DIR", "DZYX_npy_f16" if self.with_doppler else "npy")
+        self.is_complex = "complex" in self.rdr_type
+        default_dir = ("DZYX_npy_f16_complex" if self.is_complex
+                       else "DZYX_npy_f16" if self.with_doppler else "npy")
+        self.rdr_dirname = ds["DIR"].get("RDR_DIR", default_dir)
 
         roi = None
         if ds["RDR_CUBE"].get("IS_CONSIDER_ROI", False):
@@ -167,6 +169,14 @@ class CRUWPoseDataset:
         """
         path = os.path.join(self.root_dir, self.seq_id_to_name[seq],
                             self.rdr_dirname, f"{rdr_frame}.npy")
+        if self.is_complex:
+            # (2, D, Z, Y, X) complex-as-channels (get_cube_phase parity,
+            # cruw_pose.py:188-194: data pre-normalized, crop only)
+            arr = np.load(path).astype(np.float32)
+            z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
+            arr = arr[:, :, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
+            arr = arr.reshape(-1, *arr.shape[2:])         # (2D, Z, Y, X)
+            return np.ascontiguousarray(np.transpose(arr, (1, 2, 3, 0)))
         if self.use_native and self.with_doppler:
             from .. import native
             probe = native.probe(path)

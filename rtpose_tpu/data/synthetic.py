@@ -51,7 +51,9 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     with_doppler = "d" in rdr_type
-    rdr_dir = "DZYX_npy_f16" if with_doppler else "npy"
+    is_complex = "complex" in rdr_type
+    rdr_dir = ("DZYX_npy_f16_complex" if is_complex
+               else "DZYX_npy_f16" if with_doppler else "npy")
     if not with_doppler:
         dtype = np.float32  # zyx_real magnitudes (~2e5) overflow f16
 
@@ -92,6 +94,14 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                 if with_doppler:
                     dop = rng.dirichlet(np.ones(doppler_bins)).astype(np.float32)
                     full = cube[None] * (dop[:, None, None, None] * doppler_bins)
+                    if is_complex:
+                        # pre-normalized (real, imag) pair (get_cube_phase
+                        # loads without the normalize step)
+                        full = (full - n0) / (n1 - n0)
+                        phase = rng.uniform(0, 2 * np.pi,
+                                            size=full.shape).astype(np.float32)
+                        full = np.stack([full * np.cos(phase),
+                                         full * np.sin(phase)])
                 else:
                     full = cube
                 np.save(os.path.join(cube_dir, f"{rdr_frame}.npy"),

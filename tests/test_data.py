@@ -161,3 +161,16 @@ class TestPipelineParity:
         np.testing.assert_array_equal(np.asarray(dev["ind"]), item["ind"][0])
         np.testing.assert_allclose(np.asarray(dev["anno_pose"]),
                                    item["anno_pose"][0], rtol=3e-6, atol=3e-5)
+
+
+class TestComplexCube:
+    def test_dzyx_complex_shapes(self, tmp_path):
+        root = str(tmp_path / "cx")
+        generate_synthetic_dataset(root, num_seqs=1, frames_per_seq=2,
+                                   rdr_type="dzyx_complex", doppler_bins=8)
+        cfg = dataset_cfg(root, rdr_type="dzyx_complex")
+        ds = CRUWPoseDataset(dict(DATASET=cfg), "Train.json", split="train")
+        item = ds[0]
+        # (2D, Z, Y, X) -> channels-last (Z, Y, X, 2D)
+        assert item["rdr_tensor"].shape == (16, 64, 160, 16)
+        assert np.isfinite(item["rdr_tensor"]).all()
