@@ -28,6 +28,8 @@ class RPN(nn.Module):
     us_num_filters: Sequence[int] = (256, 256, 256)
     num_input_features: int = 128
     dtype: Any = None
+    sync_bn_axis: str = None   # e.g. 'data': cross-replica BN stats via psum
+                               # (NaiveSyncBatchNorm / apex syncBN parity)
 
     @property
     def downsample_factor(self) -> int:
@@ -45,7 +47,8 @@ class RPN(nn.Module):
 
         def bn(h, name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                epsilon=1e-3, name=name, dtype=jnp.float32)(h)
+                                epsilon=1e-3, name=name, dtype=jnp.float32,
+                                axis_name=self.sync_bn_axis)(h)
 
         ups = []
         for i, n_layers in enumerate(self.layer_nums):

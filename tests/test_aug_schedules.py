@@ -81,3 +81,45 @@ class TestSchedules:
         assert float(fn(10)) == pytest.approx(1.0)
         assert float(fn(60)) == pytest.approx(0.1)
         assert float(fn(90)) == pytest.approx(0.01)
+
+
+class TestAugment:
+    def test_global_rotation_consistency(self):
+        from rtpose_tpu.data.augment import global_rotation
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(50, 4)).astype(np.float32)
+        boxes = np.array([[1, 2, 0, 1, 1, 1, 0.1]], np.float32)
+        p2, b2, noise = global_rotation(pts, boxes, rng=np.random.default_rng(1))
+        # norms preserved, yaw shifted by the same noise
+        np.testing.assert_allclose(np.linalg.norm(p2[:, :3], axis=1),
+                                   np.linalg.norm(pts[:, :3], axis=1), rtol=1e-5)
+        assert b2[0, 6] == pytest.approx(0.1 + noise, abs=1e-6)
+
+    def test_global_scaling_and_translate(self):
+        from rtpose_tpu.data.augment import global_scaling, global_translate
+        pts = np.ones((5, 3), np.float32)
+        boxes = np.array([[1, 1, 1, 2, 2, 2, 0.0]], np.float32)
+        p2, b2, s = global_scaling(pts, boxes, rng=np.random.default_rng(0))
+        np.testing.assert_allclose(p2, s, rtol=1e-6)
+        np.testing.assert_allclose(b2[0, 3:6], 2 * s, rtol=1e-6)
+        p3, b3, t = global_translate(pts, boxes, rng=np.random.default_rng(0))
+        np.testing.assert_allclose(p3, np.tile(1 + t, (5, 1)), rtol=1e-5)
+
+    def test_flip_pose_swaps_lr(self):
+        from rtpose_tpu.data.augment import flip_pose_y
+        pose = np.zeros((15, 3), np.float32)
+        pose[1] = [1, 2, 3]   # R hip
+        pose[4] = [4, 5, 6]   # L hip
+        out = flip_pose_y(pose)
+        np.testing.assert_allclose(out[4], [1, -2, 3])
+        np.testing.assert_allclose(out[1], [4, -5, 6])
+
+    def test_noise_per_object_moves_points_with_box(self):
+        from rtpose_tpu.data.augment import noise_per_object
+        rng = np.random.default_rng(0)
+        boxes = np.array([[0, 0, 0, 2, 2, 2, 0.0]], np.float32)
+        pts = rng.uniform(-0.9, 0.9, size=(30, 3)).astype(np.float32)
+        b2, p2 = noise_per_object(boxes, pts, rng=np.random.default_rng(3))
+        # points stay inside the moved box
+        from rtpose_tpu.data.gt_sampler import points_in_box_np
+        assert points_in_box_np(p2, b2[0]).mean() > 0.95
