@@ -72,13 +72,12 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     """
 
     def sparse_losses(params, batch, example):
-        from ..models.losses import clamped_sigmoid, fast_focal_loss
+        from ..models.losses import fast_focal_loss_logits
         ind = example["ind"][0]
         hm_logits, reg_at_ind = model.apply(params, batch[input_key], ind,
                                             method="forward_sparse_train")
-        hm = clamped_sigmoid(hm_logits.astype(jnp.float32))
-        hm_loss = fast_focal_loss(hm, example["hm"][0], ind,
-                                  example["mask"][0], example["cat"][0])
+        hm_loss = fast_focal_loss_logits(hm_logits, example["hm"][0], ind,
+                                         example["mask"][0], example["cat"][0])
         maskf = example["mask"][0].astype(jnp.float32)[:, :, None]
         target = example["anno_pose"][0]
         l1 = jnp.abs(reg_at_ind.astype(jnp.float32) * maskf - target * maskf)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..ops.fold_conv import FOLD, unfold_x
 from ..registry import HEADS
 from .layers import GroupNorm8, TorchConv3d
-from .losses import clamped_sigmoid, fast_focal_loss, reg_loss
+from .losses import clamped_sigmoid, fast_focal_loss_logits, reg_loss
 
 
 class SepHead(nn.Module):
@@ -145,11 +145,14 @@ class CenterHead(nn.Module):
         code_w = jnp.asarray(self.code_weights, jnp.float32)
         rets = []
         for task_id, preds in enumerate(preds_dicts):
-            hm = clamped_sigmoid(preds["hm"].astype(jnp.float32))
-            hm_loss = fast_focal_loss(hm, example["hm"][task_id],
-                                      example["ind"][task_id],
-                                      example["mask"][task_id],
-                                      example["cat"][task_id])
+            # logits-form focal loss: same math as the reference's clamped
+            # sigmoid wherever the clamp is inactive, but no gradient dead
+            # zone (see fast_focal_loss_logits)
+            hm_loss = fast_focal_loss_logits(preds["hm"],
+                                             example["hm"][task_id],
+                                             example["ind"][task_id],
+                                             example["mask"][task_id],
+                                             example["cat"][task_id])
             rl = reg_loss(preds["reg"].astype(jnp.float32),
                           example["mask"][task_id],
                           example["ind"][task_id],

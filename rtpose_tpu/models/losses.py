@@ -35,6 +35,44 @@ def clamped_sigmoid(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     return jnp.clip(jax.nn.sigmoid(x), eps, 1.0 - eps)
 
 
+def fast_focal_loss_logits(logits: jnp.ndarray, target: jnp.ndarray,
+                           ind: jnp.ndarray, mask: jnp.ndarray,
+                           cat: jnp.ndarray) -> jnp.ndarray:
+    """CornerNet focal loss computed FROM LOGITS — numerically stable.
+
+    The reference guards log(0) by clamping the sigmoid to [1e-4, 1-1e-4]
+    (center_head.py:240-242); the clamp's zero gradient outside the interval
+    is a training trap: on this task's 160k-voxel heatmaps the negative term
+    crushes the (single) positive below the floor within the first step and
+    learning permanently stalls.  Using log_sigmoid gives the exact same
+    loss wherever the reference's clamp is inactive and a live gradient
+    where the reference has none.
+
+    Args: logits (B, Z, Y, X, C); target/ind/mask/cat as in fast_focal_loss.
+    """
+    B = logits.shape[0]
+    C = logits.shape[-1]
+    x = logits.astype(jnp.float32).reshape(B, -1, C)
+    target_flat = target.reshape(B, -1, C)
+
+    maskf = mask.astype(jnp.float32)
+    p = jax.nn.sigmoid(x)
+    log_p = jax.nn.log_sigmoid(x)
+    log_not_p = jax.nn.log_sigmoid(-x)
+
+    gt_weight = jnp.power(1.0 - target_flat, 4)
+    neg_loss = jnp.sum(log_not_p * jnp.square(p) * gt_weight)
+
+    pos_log_p = jnp.take_along_axis(gather_feat(log_p, ind),
+                                    cat[:, :, None].astype(jnp.int32), axis=2)[..., 0]
+    pos_p = jnp.take_along_axis(gather_feat(p, ind),
+                                cat[:, :, None].astype(jnp.int32), axis=2)[..., 0]
+    num_pos = jnp.sum(maskf)
+    pos_loss = jnp.sum(pos_log_p * jnp.square(1.0 - pos_p) * maskf)
+    return jnp.where(num_pos == 0, -neg_loss,
+                     -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0))
+
+
 def fast_focal_loss(out: jnp.ndarray, target: jnp.ndarray, ind: jnp.ndarray,
                     mask: jnp.ndarray, cat: jnp.ndarray) -> jnp.ndarray:
     """CornerNet focal loss.

@@ -257,3 +257,44 @@ class TestLosses:
         _, _, ind, mask, _, regp, regt = self._example(rng)
         vec = np.asarray(reg_loss(regp, jnp.zeros_like(mask), ind, regt))
         np.testing.assert_allclose(vec, 0.0)
+
+
+class TestFocalLogits:
+    def test_matches_clamped_version_in_active_region(self):
+        """Where the reference clamp is inactive, the logits form must equal
+        the clamped-sigmoid form exactly."""
+        from rtpose_tpu.models.losses import fast_focal_loss_logits
+        rng = np.random.default_rng(5)
+        B, Z, Y, X, C = 2, 4, 8, 10, 1
+        logits = jnp.asarray(rng.normal(scale=2.0, size=(B, Z, Y, X, C)).astype(np.float32))
+        tgt = np.zeros((B, Z, Y, X, C), np.float32)
+        ind = np.zeros((B, 1), np.int64)
+        for b in range(B):
+            i = rng.integers(0, Z * Y * X)
+            ind[b, 0] = i
+            zi, rem = divmod(i, Y * X)
+            tgt[b, zi, rem // X, rem % X, 0] = 1.0
+        mask = jnp.ones((B, 1), jnp.uint8)
+        cat = jnp.zeros((B, 1), jnp.int32)
+        a = float(fast_focal_loss(clamped_sigmoid(logits), jnp.asarray(tgt),
+                                  jnp.asarray(ind), mask, cat))
+        b = float(fast_focal_loss_logits(logits, jnp.asarray(tgt),
+                                         jnp.asarray(ind), mask, cat))
+        assert b == pytest.approx(a, rel=1e-4)
+
+    def test_gradient_alive_at_saturation(self):
+        """At logits far below the clamp floor the clamped form has zero
+        gradient; the logits form must still push positives up."""
+        from rtpose_tpu.models.losses import fast_focal_loss_logits
+        B, N = 1, 16
+        tgt = np.zeros((B, 1, 1, N, 1), np.float32); tgt[0, 0, 0, 3, 0] = 1.0
+        ind = jnp.asarray([[3]]); mask = jnp.ones((1, 1), jnp.uint8)
+        cat = jnp.zeros((1, 1), jnp.int32)
+        x0 = jnp.full((B, 1, 1, N, 1), -15.0)  # sigmoid ~ 3e-7, deep below clamp
+
+        g_clamped = jax.grad(lambda x: fast_focal_loss(
+            clamped_sigmoid(x), jnp.asarray(tgt), ind, mask, cat))(x0)
+        g_logits = jax.grad(lambda x: fast_focal_loss_logits(
+            x, jnp.asarray(tgt), ind, mask, cat))(x0)
+        assert float(jnp.abs(g_clamped).sum()) == 0.0       # the trap
+        assert float(g_logits[0, 0, 0, 3, 0]) < -0.5        # alive, pushing up
