@@ -58,11 +58,18 @@ def make_train_step(model, head, spec: PoseTargetSpec,
                     optimizer: optax.GradientTransformation,
                     lr_fn: Optional[Callable] = None,
                     input_key: str = "rdr_tensor",
-                    sparse_reg: bool = False) -> Callable:
+                    sparse_reg: bool = False,
+                    remat: bool = False) -> Callable:
     """Build the fused train step.
 
     ``head`` is the (unbound) CenterHead module — its ``loss`` uses only
     static fields so it can be called outside ``apply``.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so backward
+    recomputes activations instead of keeping them in HBM — trades ~1/3 more
+    FLOPs for roughly the forward's activation memory, enabling much larger
+    per-chip batches (the reference's AMP/GradScaler memory story maps to
+    bf16+remat here).
 
     ``sparse_reg`` (single-task one_hm configs): the regression tower runs
     only on receptive-field patches at the TARGET indices — the reg loss
@@ -92,12 +99,17 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         example = targets_from_batch(batch, spec)
 
-        def loss_fn(params):
+        def compute_losses(params, batch, example):
             if sparse_reg:
-                losses = sparse_losses(params, batch, example)
-            else:
-                preds = model.apply(params, batch[input_key])
-                losses = head.loss(example, preds)
+                return sparse_losses(params, batch, example)
+            preds = model.apply(params, batch[input_key])
+            return head.loss(example, preds)
+
+        if remat:
+            compute_losses = jax.checkpoint(compute_losses)
+
+        def loss_fn(params):
+            losses = compute_losses(params, batch, example)
             total = jnp.sum(jnp.stack(losses["loss"]))
             return total, losses
 

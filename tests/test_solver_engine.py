@@ -149,3 +149,37 @@ class TestTrainStep:
         p0 = jax.tree.leaves(state.params)[0]
         p1 = jax.tree.leaves(new_state.params)[0]
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+class TestRemat:
+    def test_remat_step_matches(self):
+        """remat=True must produce the same loss and (numerically) the same
+        update as the plain step."""
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(0)
+        batch = {
+            "rdr_tensor": jnp.asarray(rng.normal(size=(2, Z, Y, X, 1)).astype(np.float32)),
+            "poses": jnp.asarray(
+                (rng.uniform(0.3, 0.7, size=(2, 1, 15, 3))
+                 * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                 + np.array([0.0, -4.0, -1.0])).astype(np.float32)),
+            "num_poses": jnp.ones((2,), jnp.int32),
+        }
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        state = create_train_state(model, opt, batch["rdr_tensor"])
+        s1, m1 = jax.jit(make_train_step(model, head, spec, opt))(state, batch)
+        s2, m2 = jax.jit(make_train_step(model, head, spec, opt,
+                                         remat=True))(state, batch)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+        # recompute-order noise can flip adam's sign on ~zero-grad elements:
+        # bound every diff by the max step size, allow a tiny flip fraction
+        lr = 1e-3
+        total = mismatched = 0
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert d.max() <= 2.05 * lr, d.max()
+            total += d.size
+            mismatched += int((d > 1e-5).sum())
+        assert mismatched / total < 1e-3
