@@ -113,11 +113,13 @@ class Trainer:
         while self.epoch < self.total_epochs:
             for mode, times in workflow:
                 for _ in range(times):
-                    if self.epoch >= self.total_epochs:
-                        break
                     if mode == "train":
+                        if self.epoch >= self.total_epochs:
+                            break
                         self.train_epoch(train_loader)
                     elif mode == "val" and val_loader is not None and eval_fn:
+                        # runs after the final train epoch too (the epoch
+                        # cap must not skip the trailing val phase)
                         eval_fn(self.state, val_loader, self.epoch)
         if self.tb:
             self.tb.close()
