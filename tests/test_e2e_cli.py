@@ -147,6 +147,12 @@ class TestCLI:
 
     def test_resume(self, e2e_env):
         root, cfg_path, work_dir = e2e_env
+        if not os.path.isdir(os.path.join(work_dir, "checkpoints")):
+            # self-sufficiency when run standalone (module fixture is shared
+            # with test_train_then_test, which normally trains first)
+            r0 = run_tool("train.py", cfg_path, "--work_dir", work_dir,
+                          "--seed", "0")
+            assert r0.returncode == 0, r0.stderr[-4000:]
         r = run_tool("train.py", cfg_path, "--work_dir", work_dir,
                      "--resume_from", os.path.join(work_dir, "checkpoints"),
                      "--total_epochs", "3")
