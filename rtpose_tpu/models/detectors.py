@@ -94,6 +94,13 @@ class RadarPoseNet(nn.Module):
         from ..ops.fold_conv import FOLD
 
         Z, Y, X = zyx
+        if min(Z, Y, X) < 5:
+            # grid smaller than the receptive field: dense reg + gather
+            from .losses import gather_feat
+            reg = self.head_m(feat, branch="reg")[0]["reg"]
+            flat = (z * Y + y) * X + x
+            dense = reg.reshape(reg.shape[0], -1, reg.shape[-1])
+            return gather_feat(dense, flat[:, None])[:, 0]
         folded = feat.ndim == 5 and feat.shape[3] * FOLD == X
 
         def patch_of(featb, zi, yi, xi):

@@ -84,3 +84,31 @@ class TestDataParallel:
         hm, reg = jax.jit(fn)(*args)
         assert hm.shape == (1, 16, 64, 160, 1)
         assert reg.shape == (1, 16, 64, 160, 45)
+
+
+class TestDataParallelEval:
+    def test_sparse_eval_matches_single_device(self):
+        from rtpose_tpu.core.decode import DecodeSpec
+        from rtpose_tpu.engine import make_eval_step
+
+        asm = graft._flagship(tiny=True, dtype_override="float32")
+        z, y, x, c = asm.input_shape_zyxc
+        B = 8
+        rng = np.random.default_rng(2)
+        xb = rng.normal(size=(B, z, y, x, c)).astype(np.float32)
+        params = asm.model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, z, y, x, c)))
+        step = make_eval_step(asm.model, asm.head, asm.decode_spec, sparse=True)
+
+        (k1, s1, l1), = jax.jit(step)(params, {"rdr_tensor": jnp.asarray(xb)})
+
+        mesh = make_mesh(8)
+        with mesh:
+            pr = replicate(params, mesh)
+            devb = shard_batch({"rdr_tensor": xb}, mesh)
+            (k8, s8, l8), = jax.jit(step)(pr, devb)
+
+        np.testing.assert_allclose(np.asarray(k8), np.asarray(k1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-5)
