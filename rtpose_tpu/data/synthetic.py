@@ -89,8 +89,13 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                 yi = np.clip(np.searchsorted(arr_y, pose[:, 1]), 1, Y - 2)
                 xi = np.clip(np.searchsorted(arr_x, pose[:, 0]), 1, X - 2)
                 for j in range(15):
+                    # deterministic per-joint intensity level: gives joints an
+                    # identity signature so keypoint regression is learnable
+                    # from synthetic data (real radar encodes identity via
+                    # Doppler/reflectivity structure)
+                    level = 0.35 + 0.04 * j + 0.05 * rng.random()
                     cube[zi[j]-1:zi[j]+2, yi[j]-1:yi[j]+2, xi[j]-1:xi[j]+2] = (
-                        n0 + (0.5 + 0.5 * rng.random()) * (n1 - n0))
+                        n0 + level * (n1 - n0))
                 if with_doppler:
                     dop = rng.dirichlet(np.ones(doppler_bins)).astype(np.float32)
                     full = cube[None] * (dop[:, None, None, None] * doppler_bins)
