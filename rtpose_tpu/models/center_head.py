@@ -39,6 +39,7 @@ class SepHead(nn.Module):
     init_bias: float = -2.19
     dtype: Any = None
     folded: bool = False
+    final_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, branch: str | None = None,
@@ -64,13 +65,16 @@ class SepHead(nn.Module):
                     h = h * inner_mask
             bias_init = (nn.initializers.constant(self.init_bias)
                          if "hm" in head else nn.initializers.zeros_init())
-            # final projection always runs in f32: heatmap logits feed a
-            # clamped sigmoid + log and regression feeds an L1 — bf16 tails
-            # there cost accuracy for no measurable speed.
+            # final projection defaults to f32 (heatmap logits feed log
+            # terms, regression feeds an L1); final_dtype='bfloat16' trades
+            # ~0.4% logit precision for lane-starved f32 conv time.
+            fdt = self.final_dtype
             h = TorchConv3d(classes, kernel=self.final_kernel, use_bias=True,
-                            bias_init=bias_init, dtype=jnp.float32,
+                            bias_init=bias_init, dtype=fdt,
                             folded=folded,
-                            name=f"{head}_out")(h.astype(jnp.float32))
+                            name=f"{head}_out")(h.astype(
+                                jnp.float32 if fdt in (None, jnp.float32) else h.dtype))
+            h = h.astype(jnp.float32)
             if folded:
                 h = unfold_x(h)
             out[head] = h
@@ -93,6 +97,7 @@ class CenterHead(nn.Module):
     dcn_head: bool = False
     dtype: Any = None
     fold_x: bool = True
+    final_dtype: Any = jnp.float32
 
     @property
     def num_classes(self) -> List[int]:
@@ -128,7 +133,8 @@ class CenterHead(nn.Module):
                 heads["hm"] = (num_cls, self.num_hm_conv)
                 ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,
                                    init_bias=self.init_bias, name=f"task{ti}",
-                                   dtype=self.dtype, folded=folded)(
+                                   dtype=self.dtype, folded=folded,
+                                   final_dtype=self.final_dtype)(
                                x, branch=branch,
                                folded=None if not patch else False,
                                inner_mask=inner_mask))
