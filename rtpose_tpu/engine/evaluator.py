@@ -28,19 +28,29 @@ def run_eval(eval_step: Callable, params, loader, decode_spec, *,
     start_i, end_i = n_batches // 3, (2 * n_batches) // 3
     t_start = t_end = None
     frames_timed = 0
+    last_result = None  # blocked on at window edges to drain pending work
 
     for i, host_batch in enumerate(loader):
+        # The window edges must observe a drained device: block on the last
+        # step's outputs (jax.effects_barrier only flushes side effects, not
+        # pending computation).  The measured window therefore includes host
+        # load + H2D transfer + forward/decode + host post-processing — the
+        # same end-to-end per-frame cost the reference times with
+        # cuda.synchronize (tools/test.py:186-201).
         if speed_test and i == start_i:
-            jax.effects_barrier()
+            if last_result is not None:
+                jax.block_until_ready(last_result)
             t_start = time.perf_counter()
         if speed_test and i == end_i:
-            jax.effects_barrier()
+            if last_result is not None:
+                jax.block_until_ready(last_result)
             t_end = time.perf_counter()
 
         dev_only = {k: v for k, v in host_batch.items()
                     if k not in ("meta", "valid")}
         batch = shard_batch(dev_only, mesh) if mesh is not None else dev_only
         per_task = eval_jit(params, batch)
+        last_result = per_task
         if speed_test and start_i <= i < end_i:
             frames_timed += int(host_batch["valid"])
 

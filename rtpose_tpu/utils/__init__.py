@@ -1,3 +1,4 @@
+from .platform import apply_platform_env
 from .timer import Timer
 from .progressbar import ProgressBar
 from .flops import count_parameters, estimate_flops

@@ -32,6 +32,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from rtpose_tpu.utils import apply_platform_env
+    apply_platform_env()
     if args.multihost:
         import jax
         jax.distributed.initialize()
