@@ -47,7 +47,9 @@ DATASET = dict(
     ENABLE_SENSOR=["RADAR"],
 )
 
-hr_final_conv_out = 128
+# reference hr3d.py:52-78: 'top' fuse (branch-0 only, 32ch), share 32,
+# weight 0.2, per-axis code_weights
+hr_final_conv_out = 32
 
 model = dict(
     type="RadarPoseNet",
@@ -56,9 +58,9 @@ model = dict(
     backbone=dict(
         type="HRNet3D",
         backbone_cfg="hr_tiny_feat32_zyx_l4",
-        final_conv_in=sum([32, 32, 64, 64]),
+        final_conv_in=32,
         final_conv_out=hr_final_conv_out,
-        final_fuse="conat_conv",
+        final_fuse="top",
         ds_factor=1,
         dtype="bfloat16",  # TPU compute dtype (params stay f32)
     ),
@@ -66,10 +68,10 @@ model = dict(
         type="CenterHead",
         tasks=tasks,
         in_channels=hr_final_conv_out,
-        share_conv_channel=128,
+        share_conv_channel=32,
         dataset="cruw_pose",
-        weight=0.5,
-        code_weights=[1.0] * 3,
+        weight=0.2,
+        code_weights=[1.0, 1.5, 2.0],
         common_heads={"reg": (3, 2)},  # per-joint (x, y, z) offset
         dcn_head=False,
         dtype="bfloat16",

@@ -3,9 +3,12 @@
 The runtime counterpart of the reference Trainer
 (``det3d/torchie/trainer/trainer.py:143-609``) reshaped for JAX: the hot
 path is one jitted ``train_step``; the Python loop only feeds batches,
-buffers device metrics, and fires callbacks (text/TensorBoard logging every
-``log_interval`` iters, checkpoints every ``checkpoint_interval`` epochs,
-loader epoch reseeding, per-phase timing).
+buffers device metrics, and fires prioritized hooks (``engine/hooks.py``) —
+text/TensorBoard logging every ``log_interval`` iters, checkpoints every
+``checkpoint_interval`` epochs, loader epoch reseeding, per-phase timing.
+Users can ``register_hook`` their own (EMA, visualization, profiling)
+without touching the loop, mirroring ``Trainer.register_hook``
+(trainer/trainer.py:312-332).
 
 Metric reads (``float(...)``) force a device sync, so the loop keeps the
 last ``log_interval`` metric pytrees unresolved and only materializes them
@@ -25,6 +28,7 @@ import numpy as np
 
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoint import load_checkpoint, save_checkpoint
+from .hooks import CheckpointHook, Hook, LoggerHook, SamplerSeedHook
 from .log_buffer import LogBuffer
 from .steps import TrainState
 
@@ -73,7 +77,8 @@ class Trainer:
                  checkpoint_interval: int = 5,
                  meta: Optional[dict] = None,
                  enable_tensorboard: bool = True,
-                 logger=None):
+                 logger=None,
+                 default_hooks: bool = True):
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         self.logger = logger or get_root_logger(work_dir=self.work_dir)
@@ -86,12 +91,41 @@ class Trainer:
         self.checkpoint_interval = checkpoint_interval
         self.meta = meta or {}
         self.epoch = 0
+        self.inner_iter = 0
+        self.loader = None
+        self.timings: Dict[str, float] = {}
         self.log_buffer = LogBuffer()
         self.tb = (TensorboardWriter(os.path.join(self.work_dir, "tf_logs"))
                    if enable_tensorboard else None)
         self.json_log = os.path.join(
             self.work_dir, f"{time.strftime('%Y%m%d_%H%M%S')}.log.json")
         self._eval_fn: Optional[Callable] = None
+        self._pending: List[Any] = []
+        self._epoch_t0 = 0.0
+        self._hooks: List[Hook] = []
+        if default_hooks:
+            self.register_hook(SamplerSeedHook())
+            self.register_hook(LoggerHook(log_interval))
+            self.register_hook(CheckpointHook(checkpoint_interval))
+
+    # -- hook machinery (trainer/trainer.py:312-332 parity) -------------
+
+    def register_hook(self, hook: Hook, priority: Optional[int] = None):
+        """Insert keeping ascending priority order (lower = earlier);
+        equal-priority hooks keep registration order."""
+        if priority is not None:
+            hook.priority = priority
+        idx = len(self._hooks)
+        for i, h in enumerate(self._hooks):
+            if h.priority > hook.priority:
+                idx = i
+                break
+        self._hooks.insert(idx, hook)
+        return hook
+
+    def call_hook(self, event: str):
+        for h in self._hooks:
+            getattr(h, event)(self)
 
     # ------------------------------------------------------------------
 
@@ -110,6 +144,7 @@ class Trainer:
         self.logger.info(
             f"start training: {self.total_epochs} epochs x {steps_per_epoch} "
             f"steps, {self.mesh.devices.size} device(s)")
+        self.call_hook("before_run")
         while self.epoch < self.total_epochs:
             for mode, times in workflow:
                 for _ in range(times):
@@ -121,6 +156,8 @@ class Trainer:
                         # runs after the final train epoch too (the epoch
                         # cap must not skip the trailing val phase)
                         eval_fn(self.state, val_loader, self.epoch)
+                        self.call_hook("after_val_epoch")
+        self.call_hook("after_run")
         if self.tb:
             self.tb.close()
         return self.state
@@ -128,51 +165,53 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, loader):
-        loader.set_epoch(self.epoch)
-        n = len(loader)
-        pending: List[Any] = []
+        self.loader = loader
+        self.call_hook("before_train_epoch")
+        self._pending = []
         t_iter = time.perf_counter()
-        epoch_t0 = t_iter
+        self._epoch_t0 = t_iter
         for i, host_batch in enumerate(loader):
+            self.inner_iter = i
+            self.call_hook("before_train_iter")
             t_data = time.perf_counter()
             host_batch.pop("meta", None)   # device step takes arrays only
             host_batch.pop("valid", None)  # train batches are always full
             batch = shard_batch(host_batch, self.mesh)
             t_xfer = time.perf_counter()
             self.state, metrics = self.train_step(self.state, batch)
-            pending.append(metrics)
+            self._pending.append(metrics)
             t_done = time.perf_counter()
-
-            if (i + 1) % self.log_interval == 0 or i + 1 == n:
-                self._flush_metrics(pending)
-                pending = []
-                self.log_buffer.update({
-                    "data_time": t_data - t_iter,
-                    "transfer_time": t_xfer - t_data,
-                    "step_time": t_done - t_xfer,
-                    "time": t_done - t_iter,
-                })
-                self.log_buffer.average(self.log_interval)
-                self._log(i + 1, n, epoch_t0)
-                self.log_buffer.clear_output()
+            self.timings = {
+                "data_time": t_data - t_iter,
+                "transfer_time": t_xfer - t_data,
+                "step_time": t_done - t_xfer,
+                "time": t_done - t_iter,
+            }
+            self.call_hook("after_train_iter")
             t_iter = time.perf_counter()
         self.epoch += 1
-        if self.epoch % self.checkpoint_interval == 0 or self.epoch == self.total_epochs:
-            path = save_checkpoint(self.work_dir, jax.device_get(self.state),
-                                   self.epoch, self.meta)
-            if path:
-                self.logger.info(f"saved checkpoint {path}")
+        self.call_hook("after_train_epoch")
 
-    def _flush_metrics(self, pending):
-        for m in pending:
+    # -- helpers used by the built-in hooks ------------------------------
+
+    def flush_metrics(self):
+        for m in self._pending:
             scalars = {k: float(v) for k, v in m.items()
                        if k != "loc_loss_elem" and np.ndim(v) == 0}
             self.log_buffer.update(scalars)
+        self._pending = []
 
-    def _log(self, it: int, n: int, epoch_t0: float):
+    def save_checkpoint(self):
+        path = save_checkpoint(self.work_dir, jax.device_get(self.state),
+                               self.epoch, self.meta)
+        if path:
+            self.logger.info(f"saved checkpoint {path}")
+        return path
+
+    def emit_log(self, it: int, n: int):
         out = dict(self.log_buffer.output)
         step = int(self.state.step)
-        elapsed = time.perf_counter() - epoch_t0
+        elapsed = time.perf_counter() - self._epoch_t0
         eta = (n - it) * (elapsed / max(it, 1)) + \
             (self.total_epochs - self.epoch - 1) * n * (elapsed / max(it, 1))
         lr = out.get("lr", float(self.lr_fn(step)) if self.lr_fn else 0.0)

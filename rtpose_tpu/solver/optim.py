@@ -151,9 +151,14 @@ def build_optimizer_from_cfg(cfg, total_steps: int) -> optax.GradientTransformat
         div_factor=float(lr_cfg.get("div_factor", 10.0)),
         pct_start=float(lr_cfg.get("pct_start", 0.4)),
     )
+    fixed_wd = bool(opt_cfg.get("fixed_wd", True))
+    # build_one_cycle_optimizer (apis/train.py:157-174): the fixed_wd branch
+    # constructs Adam with betas=(0.9, 0.99) and OneCycle only re-sets
+    # beta1, so beta2 stays 0.99; the non-fixed branch keeps torch's 0.999.
     return adam_one_cycle(
         lr_fn, mom_fn,
+        beta2=0.99 if fixed_wd else 0.999,
         weight_decay=float(opt_cfg.get("wd", 0.01)),
-        fixed_wd=bool(opt_cfg.get("fixed_wd", True)),
+        fixed_wd=fixed_wd,
         grad_clip_norm=clip,
     )

@@ -16,5 +16,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: jit programs recompile across test processes
+# and re-runs otherwise (the dominant cost of this suite is XLA CPU compiles,
+# not test logic).  Keyed by HLO, so code changes invalidate naturally.
+_cache_dir = os.environ.get("RTPOSE_TEST_CACHE_DIR", "/tmp/rtpose_jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.default_backend() == "cpu", "tests must not run over the TPU tunnel"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"

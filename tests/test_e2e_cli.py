@@ -115,6 +115,7 @@ def run_tool(script, *args):
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_train_then_test(self, e2e_env):
         root, cfg_path, work_dir = e2e_env
         r = run_tool("train.py", cfg_path, "--work_dir", work_dir, "--seed", "0")
@@ -145,6 +146,7 @@ class TestCLI:
         assert "ALL" in res
         assert np.isfinite(res["ALL"]["MPJPE"])
 
+    @pytest.mark.slow
     def test_resume(self, e2e_env):
         root, cfg_path, work_dir = e2e_env
         if not os.path.isdir(os.path.join(work_dir, "checkpoints")):

@@ -72,6 +72,7 @@ class TestFoldedEquivalence:
         out = bb_f.apply(p, x)
         assert out.shape == (1, 8, 16, 16, 128)
 
+    @pytest.mark.slow
     def test_structural_exactness_f64(self):
         """In float64 the folded and naive networks must agree to ~1e-12
         (forward AND gradients) — the two layouts are the same math.  The

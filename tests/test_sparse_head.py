@@ -79,6 +79,7 @@ def test_sparse_boundary_peak():
     assert found == 8
 
 
+@pytest.mark.slow
 def test_sparse_train_step_matches_dense():
     """Loss and gradients of the sparse-reg train step equal the dense step."""
     from rtpose_tpu.core.targets import PoseTargetSpec

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Microbenchmark lab: candidate TPU formulations of the HRNet hot convs.
+
+Times individual conv formulations at the model's dominant shapes on the
+real chip using the chained-scan methodology (see bench.py — the tunnel
+makes single-dispatch timing unreliable).  Used to drive the issued-FLOP
+reduction work: the production folded layout (ops/fold_conv.py) issues 4x
+the algorithmic FLOPs on k=3 convs; this lab measures whether lower-issue
+formulations (FOLD=2, tap-concat, naive) beat it per wall-clock.
+
+Run: python tools/perf_lab.py [case ...]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timer(fn_builder, *args, k_lo=2, k_hi=8, reps=3):
+    """Seconds per op via chained-scan slope."""
+    import jax
+
+    ts = {}
+    for K in (k_lo, k_hi):
+        f = fn_builder(K)
+        float(f(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+
+
+def chain_conv(conv_fn, x, w, length_outer):
+    """Builder: K chained applications of conv_fn (feedback via cheap sum)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def build(K):
+        @jax.jit
+        def run(x, w):
+            def body(c, _):
+                out = conv_fn(c, w)
+                fb = (out.astype(jnp.float32).sum() * 1e-24).astype(c.dtype)
+                return c + fb, None
+            xK, _ = lax.scan(body, x, None, length=K)
+            return xK.astype(jnp.float32).sum()
+        return run
+    return build
+
+
+# --------------------------------------------------------------------------
+# FOLD-parametric folded conv (generalization of ops/fold_conv.py, F=2/4)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def fold_entries(kx, stride, F):
+    entries = []
+    s_min = s_max = 0
+    for fo in range(F):
+        for dx in range(kx):
+            d = dx - kx // 2
+            pos = stride * fo + d
+            s, fi = pos // F, pos % F
+            entries.append((fo, dx, s, fi))
+            s_min, s_max = min(s_min, s), max(s_max, s)
+    return entries, s_min, s_max
+
+
+def fold_weights(w, stride, F):
+    import jax.numpy as jnp
+    kz, ky, kx, C, Co = w.shape
+    entries, s_min, s_max = fold_entries(kx, stride, F)
+    width = s_max - s_min + 1
+    out = jnp.zeros((kz, ky, width, F, C, F, Co), w.dtype)
+    for fo, dx, s, fi in entries:
+        out = out.at[:, :, s - s_min, fi, :, fo, :].set(w[:, :, dx])
+    return out.reshape(kz, ky, width, F * C, F * Co)
+
+
+def conv_folded_F(F):
+    from jax import lax
+
+    def conv(xf, w):
+        kz, ky, kx, C, Co = w.shape
+        entries, s_min, s_max = fold_entries(kx, 1, F)
+        wf = fold_weights(w.astype(xf.dtype), 1, F)
+        pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
+        return lax.conv_general_dilated(
+            xf, wf, (1, 1, 1), pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return conv
+
+
+def conv_naive(x, w):
+    from jax import lax
+    kz, ky, kx = w.shape[:3]
+    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (kx // 2, kx // 2)]
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv_tapconcat(x, w):
+    """1x-issue formulation: gather the kx taps into channels, then a
+    (kz, ky, 1) conv with kx*C input channels."""
+    import jax.numpy as jnp
+    from jax import lax
+    kz, ky, kx, C, Co = w.shape
+    shifts = []
+    h = kx // 2
+    for dx in range(kx):
+        shifts.append(jnp.roll(x, h - dx, axis=3))
+    xc = jnp.concatenate(shifts, axis=-1)                    # (B,Z,Y,X,kx*C)
+    # kernel layout: tap-major channels matching the concat order
+    wc = jnp.concatenate([w[:, :, dx][:, :, None] for dx in range(kx)], axis=3)
+    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (0, 0)]
+    return lax.conv_general_dilated(
+        xc, wc, (1, 1, 1), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}")
+    B, Z, Y, X = 8, 16, 64, 160
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    cases = sys.argv[1:] or ["naive", "f4", "f2", "tap"]
+    shapes = [(32, 32), (32, 128), (64, 64), (96, 128)]
+
+    for C, Co in shapes:
+        x = jax.device_put(rng.normal(size=(B, Z, Y, X, C)).astype(np.float32)).astype(dt)
+        w = jax.device_put(rng.normal(size=(3, 3, 3, C, Co)).astype(np.float32)).astype(dt)
+        alg_tflop = 2 * 27 * C * Co * B * Z * Y * X / 1e12
+        float(x.astype(jnp.float32).sum())
+        for case in cases:
+            try:
+                if case == "naive":
+                    per = timer(chain_conv(conv_naive, x, w, None), x, w)
+                    issue = 1.0
+                elif case in ("f2", "f4"):
+                    F = int(case[1])
+                    if X % F or C * F > 512:
+                        continue
+                    xf = x.reshape(B, Z, Y, X // F, F * C)
+                    per = timer(chain_conv(conv_folded_F(F), xf, w, None), xf, w)
+                    _, s_min, s_max = fold_entries(3, 1, F)
+                    issue = (s_max - s_min + 1) * F / 3.0
+                elif case == "tap":
+                    per = timer(chain_conv(conv_tapconcat, x, w, None), x, w)
+                    issue = 1.0
+                else:
+                    continue
+                eff = alg_tflop / per
+                print(f"C{C:>3}->C{Co:>3} {case:>6}: {per*1e3:7.3f} ms  "
+                      f"alg {eff:6.1f} TFLOP/s  issued {eff*issue:6.1f} "
+                      f"(x{issue:.2f})")
+            except Exception as e:
+                print(f"C{C}->C{Co} {case}: FAILED {type(e).__name__}: {str(e)[:90]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,9 @@ def parse_args():
                    help="override cfg.total_epochs")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N train steps "
+                        "into <work_dir>/profile")
     return p.parse_args()
 
 
@@ -101,6 +104,9 @@ def main():
         log_interval=int(dict(cfg.log_config).get("interval", 20)),
         checkpoint_interval=int(dict(cfg.checkpoint_config).get("interval", 5)),
         meta=dict(config=cfg.text))
+    if args.profile:
+        from rtpose_tpu.engine import ProfilerHook
+        trainer.register_hook(ProfilerHook(num_steps=args.profile))
     if args.resume_from or cfg.get("resume_from"):
         trainer.resume(args.resume_from or cfg.resume_from)
 
