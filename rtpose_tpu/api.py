@@ -25,6 +25,7 @@ class Assembly:
     decode_spec: DecodeSpec
     input_shape_zyxc: Tuple[int, int, int, int]
     one_hm: bool
+    model_cfg: Any = None          # the cfg.model dict the detector was built from
 
 
 def input_channels(dataset_cfg: Dict[str, Any]) -> int:
@@ -92,7 +93,8 @@ def assemble(cfg) -> Assembly:
     return Assembly(model=model, head=head, target_spec=target_spec,
                     decode_spec=decode_spec,
                     input_shape_zyxc=(*grid, c_in),
-                    one_hm=(mode == "one_hm"))
+                    one_hm=(mode == "one_hm"),
+                    model_cfg=model_cfg)
 
 
 def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,

@@ -130,3 +130,104 @@ class BatchLoader:
                     raise err[0]
                 return
             yield item
+
+
+class DeviceCachedLoader:
+    """Device-resident dataset: every sample's arrays are uploaded to HBM
+    ONCE; per-step batches are built with an on-device gather, so the hot
+    loop has zero host->device traffic.
+
+    The TPU-native answer to per-step H2D being the bottleneck (slow
+    interconnects, or hosts with few cores): a full 100-epoch run re-reads
+    each frame 100x through the host path, while the device could fetch it
+    from HBM.  Gate by size — the cache must fit alongside params and
+    activations (a 96-frame synthetic set is ~2 GB; a 72k-frame CRUW epoch
+    is not cacheable).
+
+    Interface-compatible with BatchLoader for the training path
+    (``set_epoch`` / ``len`` / iteration, same epoch-seeded shuffle
+    semantics via ``shard_indices``); batches carry jax arrays plus the
+    'meta' list and 'valid' count.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: Optional[bool] = None, num_shards: int = 1,
+                 shard_id: int = 0, seed: int = 0, sharding=None,
+                 max_bytes: Optional[int] = None, cache_dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.seed = seed
+        self.epoch = 0
+
+        items = [dataset[i] for i in range(len(dataset))]
+        first = items[0]
+        arrays: Dict[str, np.ndarray] = {}
+        self._orig_dtype: Dict[str, Any] = {}
+        for k, v in first.items():
+            if k == "meta" or k in BatchLoader.LIST_KEYS:
+                continue
+            if (isinstance(v, np.ndarray) or np.isscalar(v)) \
+                    and np.issubdtype(np.asarray(v).dtype, np.number):
+                a = np.stack([np.asarray(it[k]) for it in items])
+                if cache_dtype is not None and np.issubdtype(a.dtype, np.floating):
+                    # compressed cache: halve HBM footprint, cast back after
+                    # the per-batch gather
+                    self._orig_dtype[k] = a.dtype
+                    a = a.astype(jnp.dtype(cache_dtype))
+                arrays[k] = a
+        # store every array flattened to (N, K): TPU tiles the trailing two
+        # dims to (8, 128), so e.g. a (..., 160, 32)-shaped cache would pad
+        # channels 32 -> 128 and QUADRUPLE its HBM footprint; one huge K
+        # pads to the next multiple of 128 only
+        self._shapes = {k: a.shape[1:] for k, a in arrays.items()}
+        arrays = {k: a.reshape(a.shape[0], -1) if a.ndim > 1 else a
+                  for k, a in arrays.items()}
+        total = sum(a.nbytes for a in arrays.values())
+        if max_bytes is not None and total > max_bytes:
+            raise ValueError(
+                f"DeviceCachedLoader: dataset needs {total / 1e9:.2f} GB on "
+                f"device, over the {max_bytes / 1e9:.2f} GB cap — use "
+                "BatchLoader for datasets that do not fit in HBM")
+        self.nbytes = total
+        self.n = len(items)
+        self.metas = [it.get("meta") for it in items]
+        self.data = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        return shard_indices(self.n, self.seed + self.epoch, self.shuffle,
+                             self.num_shards, self.shard_id, self.drop_last)
+
+    def __len__(self):
+        per_shard = len(self._indices())
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return (per_shard + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        import jax.numpy as jnp
+
+        idx = self._indices()
+        bs = self.batch_size
+        for b in range(len(self)):
+            sel = idx[b * bs : (b + 1) * bs]
+            valid = len(sel)
+            if valid < bs:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], bs - valid)])
+            batch: Dict[str, Any] = {}
+            for k, v in self.data.items():
+                b = jnp.take(v, jnp.asarray(sel), axis=0)
+                if k in self._orig_dtype:
+                    b = b.astype(self._orig_dtype[k])
+                batch[k] = b.reshape(len(sel), *self._shapes[k])
+            batch["meta"] = [self.metas[int(i)] for i in sel]
+            batch["valid"] = np.int32(valid)
+            yield batch

@@ -23,18 +23,57 @@ ROI1 = {"z": [-1.0875000000000021, 4.7125],
 
 DEFAULT_PELVIS_RANGE = {"x": (2.0, 7.0), "y": (-3.5, 3.5), "z": (0.8, 1.2)}
 
+# Upright 15-joint skeleton, meters relative to the pelvis, person facing
+# the radar (+x range, +y lateral, +z up).  Joint order matches the CRUW
+# keypoint meta (Pelvis, R leg, L leg, spine/head, L arm, R arm).
+SKELETON_TEMPLATE = np.array([
+    [0.00,  0.00,  0.00],   # Pelvis
+    [0.00, -0.12, -0.05],   # RHip
+    [0.02, -0.14, -0.45],   # RKnee
+    [0.03, -0.15, -0.85],   # RAnkle
+    [0.00,  0.12, -0.05],   # LHip
+    [0.02,  0.14, -0.45],   # LKnee
+    [0.03,  0.15, -0.85],   # LAnkle
+    [0.00,  0.00,  0.25],   # Torso
+    [0.00,  0.00,  0.50],   # Neck
+    [0.01,  0.00,  0.68],   # Head
+    [0.00,  0.20,  0.45],   # LShoulder
+    [0.06,  0.30,  0.20],   # LElbow
+    [0.10,  0.32, -0.02],   # LWrist
+    [0.00, -0.20,  0.45],   # RShoulder
+    [0.06, -0.30,  0.20],   # RElbow
+], dtype=np.float64)
+
 
 def _random_pose(rng: np.random.Generator, pelvis_range=None,
-                 offset_scale=(0.25, 0.25, 0.35), z_clip=(-0.9, 2.0)) -> np.ndarray:
-    """A 15-joint skeleton-ish pose inside the ROI (meters, xyz)."""
+                 offset_scale=(0.25, 0.25, 0.35), z_clip=(-0.9, 2.0),
+                 pose_mode: str = "gaussian") -> np.ndarray:
+    """A 15-joint pose inside the ROI (meters, xyz).
+
+    ``pose_mode='gaussian'``: i.i.d. normal offsets around the pelvis — the
+    per-joint offset distribution is zero-mean, so predict-the-mean is near
+    optimal; good for plumbing tests only.
+    ``pose_mode='skeleton'``: a human skeleton template under random yaw /
+    scale / limb jitter — offsets are large (up to ~0.9 m) and structured,
+    so only a model that reads the per-joint blobs can score well.
+    """
     pr = pelvis_range or DEFAULT_PELVIS_RANGE
     pelvis = np.array([
         rng.uniform(*pr["x"]),          # x (range)
         rng.uniform(*pr["y"]),          # y (azimuth)
         rng.uniform(*pr["z"]),          # z (pelvis height)
     ])
-    offsets = rng.normal(scale=offset_scale, size=(15, 3))
-    offsets[0] = 0.0
+    if pose_mode == "skeleton":
+        yaw = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        scale = rng.uniform(0.85, 1.15)
+        offsets = (scale * SKELETON_TEMPLATE) @ rot.T
+        offsets += rng.normal(scale=0.03, size=(15, 3))
+        offsets[0] = 0.0
+    else:
+        offsets = rng.normal(scale=offset_scale, size=(15, 3))
+        offsets[0] = 0.0
     pose = pelvis[None] + offsets
     pose[:, 2] = np.clip(pose[:, 2], *z_clip)
     return pose
@@ -46,7 +85,9 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                full_zyx: Tuple[int, int, int] = (32, 128, 256),
                                dtype=np.float16, pelvis_range=None,
                                offset_scale=(0.25, 0.25, 0.35),
-                               z_clip=(-0.9, 2.0)) -> Dict[str, list]:
+                               z_clip=(-0.9, 2.0),
+                               pose_mode: str = "gaussian",
+                               test_frames_per_seq: int = None) -> Dict[str, list]:
     """Create the dataset under ``root``; returns {split: [sample keys]}."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
@@ -77,25 +118,44 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
         os.makedirs(cube_dir, exist_ok=True)
         for split in ("Train", "Test"):
             splits[split].setdefault(seq_id, {})
-            for fi in range(frames_per_seq):
+            n_frames = (frames_per_seq if split == "Train" or
+                        test_frames_per_seq is None else test_frames_per_seq)
+            for fi in range(n_frames):
                 frame = f"{split.lower()}_{fi:04d}"
                 rdr_frame = f"{len(os.listdir(cube_dir)):06d}"
-                pose = _random_pose(rng, pelvis_range, offset_scale, z_clip)
+                pose = _random_pose(rng, pelvis_range, offset_scale, z_clip,
+                                    pose_mode=pose_mode)
 
                 cube = rng.uniform(n0, n0 + 0.1 * (n1 - n0),
                                    size=(Z, Y, X)).astype(np.float32)
-                # intensity blobs at keypoints (nearest-voxel + neighborhood)
-                zi = np.clip(np.searchsorted(arr_z, pose[:, 2]), 1, Z - 2)
-                yi = np.clip(np.searchsorted(arr_y, pose[:, 1]), 1, Y - 2)
-                xi = np.clip(np.searchsorted(arr_x, pose[:, 0]), 1, X - 2)
+                # continuous fractional voxel coords (sub-voxel position)
+                fz = (pose[:, 2] - arr_z[0]) / (11.6 / 32)
+                fy = (pose[:, 1] - arr_y[0]) / (20.1 / 128)
+                fx = (pose[:, 0] - arr_x[0]) / (11.6 / 256)
+                zi = np.clip(np.round(fz).astype(int), 1, Z - 2)
+                yi = np.clip(np.round(fy).astype(int), 1, Y - 2)
+                xi = np.clip(np.round(fx).astype(int), 1, X - 2)
                 for j in range(15):
                     # deterministic per-joint intensity level: gives joints an
                     # identity signature so keypoint regression is learnable
                     # from synthetic data (real radar encodes identity via
-                    # Doppler/reflectivity structure)
-                    level = 0.35 + 0.04 * j + 0.05 * rng.random()
-                    cube[zi[j]-1:zi[j]+2, yi[j]-1:yi[j]+2, xi[j]-1:xi[j]+2] = (
-                        n0 + level * (n1 - n0))
+                    # Doppler/reflectivity structure).  The pelvis/torso is
+                    # the BRIGHTEST (largest radar cross-section in reality),
+                    # which also makes the center heatmap's argmax target
+                    # consistent with the intensity argmax.
+                    level = 0.95 - 0.04 * j - 0.05 * rng.random()
+                    # gaussian splat centered at the CONTINUOUS position, so
+                    # blob intensity gradients encode the sub-voxel offset
+                    # the regression head must recover
+                    zz, yy, xx2 = np.meshgrid(
+                        np.arange(zi[j] - 1, zi[j] + 2),
+                        np.arange(yi[j] - 1, yi[j] + 2),
+                        np.arange(xi[j] - 1, xi[j] + 2), indexing="ij")
+                    d2 = ((zz - fz[j]) ** 2 + (yy - fy[j]) ** 2
+                          + (xx2 - fx[j]) ** 2)
+                    blob = n0 + level * (n1 - n0) * np.exp(-d2 / (2 * 0.6 ** 2))
+                    win = cube[zi[j]-1:zi[j]+2, yi[j]-1:yi[j]+2, xi[j]-1:xi[j]+2]
+                    np.maximum(win, blob, out=win)
                 if with_doppler:
                     dop = rng.dirichlet(np.ones(doppler_bins)).astype(np.float32)
                     full = cube[None] * (dop[:, None, None, None] * doppler_bins)

@@ -28,8 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.fold_conv import (FOLD, conv3d_folded, conv3d_naive,
-                             group_norm_folded)
+from ..ops.fold_conv import (FOLD, conv3d_folded, conv3d_folded_gather,
+                             conv3d_naive, group_norm_folded)
 
 Dtype = Any
 
@@ -63,6 +63,11 @@ class TorchConv3d(nn.Module):
         if dt is not None:
             x = x.astype(dt)
         if self.folded:
+            if self.stride == 1 and self.kernel > 1:
+                # tap-gather formulation: half the issued FLOPs of the
+                # folded-kernel form at the same MXU lane utilization
+                return conv3d_folded_gather(x, w.astype(x.dtype),
+                                            None if b is None else b)
             return conv3d_folded(x, w.astype(x.dtype),
                                  None if b is None else b, self.stride)
         return conv3d_naive(x, w.astype(x.dtype),

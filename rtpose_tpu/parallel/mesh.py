@@ -58,6 +58,11 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[s
     n = mesh.devices.size
 
     def put(v):
+        if isinstance(v, jax.Array):
+            # already on device (DeviceCachedLoader): reshard in place —
+            # a device-to-device move, no host round trip
+            tgt = data if v.ndim >= 1 and v.shape[0] % n == 0 else repl
+            return jax.device_put(v, tgt)
         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % n == 0:
             return jax.device_put(v, data)
         if isinstance(v, (np.ndarray, np.number, int, float)):

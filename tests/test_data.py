@@ -130,6 +130,43 @@ class TestLoader:
         assert len(batches) == 2
         assert all(b["valid"] == 3 for b in batches)
 
+    def test_device_cached_matches_batch_loader(self, synth_root):
+        """DeviceCachedLoader must yield the SAME batches as BatchLoader
+        (same epoch-seeded shuffle, padding and 'valid'), with the arrays
+        resident on device."""
+        import jax
+
+        from rtpose_tpu.data import DeviceCachedLoader
+
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                             split="train")
+        host = BatchLoader(ds, batch_size=3, shuffle=True, seed=5)
+        dev = DeviceCachedLoader(ds, batch_size=3, shuffle=True, seed=5)
+        assert dev.nbytes > 0
+        for epoch in (0, 1):
+            host.set_epoch(epoch)
+            dev.set_epoch(epoch)
+            hb, db = list(host), list(dev)
+            assert len(hb) == len(db) == 2
+            for h, d in zip(hb, db):
+                assert isinstance(d["rdr_tensor"], jax.Array)
+                np.testing.assert_allclose(np.asarray(d["rdr_tensor"]),
+                                           h["rdr_tensor"], rtol=1e-6)
+                np.testing.assert_array_equal(np.asarray(d["poses"]),
+                                              h["poses"])
+                assert d["valid"] == h["valid"]
+                assert d["meta"] == h["meta"]
+
+    def test_device_cached_size_cap(self, synth_root):
+        from rtpose_tpu.data import DeviceCachedLoader
+
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                             split="train")
+        with pytest.raises(ValueError, match="does not fit|GB"):
+            DeviceCachedLoader(ds, batch_size=3, max_bytes=1000)
+
 
 class TestPipelineParity:
     def test_host_pipeline_matches_device_assigner(self, synth_root):

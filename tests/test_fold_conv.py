@@ -26,6 +26,36 @@ def test_fold4_matches_naive(C, Co, k, stride):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("C,Co,k", [(4, 4, 3), (4, 8, 3), (8, 4, 3), (4, 4, 5)])
+def test_gather_matches_naive(C, Co, k):
+    """conv3d_folded_gather (the production stride-1 path) must equal the
+    naive conv exactly, including the zero-padding boundary."""
+    from rtpose_tpu.ops.fold_conv import conv3d_folded_gather
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 16, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, k, C, Co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
+    got = unfold_x(conv3d_folded_gather(fold_x(x), w, b))
+    want = conv3d_naive(x, w, b)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gather_gradients_match():
+    from rtpose_tpu.ops.fold_conv import conv3d_folded_gather
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 8, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 4)).astype(np.float32))
+    g1 = jax.grad(lambda w: jnp.sum(
+        unfold_x(conv3d_folded_gather(fold_x(x), w)) ** 2))(w)
+    g2 = jax.grad(lambda w: jnp.sum(conv3d_naive(x, w) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fold_unfold_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 2, 3, 8, 5)).astype(np.float32))

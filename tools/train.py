@@ -30,6 +30,17 @@ def parse_args():
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N train steps "
                         "into <work_dir>/profile")
+    p.add_argument("--device_cache", action="store_true",
+                   help="upload the whole training set to HBM once and "
+                        "build batches with on-device gathers (small "
+                        "datasets only; removes all per-step H2D traffic)")
+    p.add_argument("--cache_dtype", default=None,
+                   help="store the device cache compressed (e.g. bfloat16); "
+                        "batches are cast back to f32 after the gather")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the forward: backward recomputes "
+                        "activations instead of keeping them in HBM "
+                        "(enables larger batches / the device cache)")
     return p.parse_args()
 
 
@@ -74,9 +85,20 @@ def main():
     dataset = build_dataset_from_cfg(cfg.data, "train",
                                      max_poses=asm.target_spec.max_poses)
     per_host_bs = int(cfg.data["samples_per_gpu"]) * jax.local_device_count()
-    loader = BatchLoader(dataset, batch_size=per_host_bs, shuffle=True,
-                         num_shards=process_count(), shard_id=process_index(),
-                         seed=args.seed or 0)
+    if args.device_cache or cfg.data.get("device_cache", False):
+        from rtpose_tpu.data import DeviceCachedLoader
+        loader = DeviceCachedLoader(dataset, batch_size=per_host_bs,
+                                    shuffle=True, num_shards=process_count(),
+                                    shard_id=process_index(),
+                                    seed=args.seed or 0,
+                                    cache_dtype=args.cache_dtype,
+                                    max_bytes=8_000_000_000)
+        logger.info(f"device-cached {len(dataset)} samples "
+                    f"({loader.nbytes / 1e9:.2f} GB in HBM)")
+    else:
+        loader = BatchLoader(dataset, batch_size=per_host_bs, shuffle=True,
+                             num_shards=process_count(),
+                             shard_id=process_index(), seed=args.seed or 0)
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * total_epochs
 
@@ -97,7 +119,7 @@ def main():
 
     train_step = make_train_step(asm.model, asm.head, asm.target_spec,
                                  optimizer, lr_fn=lr_fn,
-                                 sparse_reg=asm.one_hm)
+                                 sparse_reg=asm.one_hm, remat=args.remat)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
         lr_fn=lr_fn, mesh=make_mesh(),
