@@ -76,6 +76,7 @@ class TestDataParallel:
             mismatched += int((d > 1e-5).sum())
         assert mismatched / total < 5e-3, (mismatched, total)
 
+    @pytest.mark.slow  # the driver executes dryrun_multichip directly
     def test_graft_dryrun(self):
         graft.dryrun_multichip(8)
 
