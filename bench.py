@@ -76,7 +76,7 @@ def report_mfu(asm, model, params, fps, np):
     return out
 
 
-def measure_pipeline(np, B=8, epochs=4):
+def measure_pipeline(np, B=8, epochs=2):
     """End-to-end sustained throughput: disk .npy (native fused loader) ->
     host batch -> H2D -> predict_sparse -> host keypoint decode.
 
