@@ -213,21 +213,32 @@ class DeviceCachedLoader:
         return (per_shard + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        import jax
         import jax.numpy as jnp
+        from jax import lax
 
         idx = self._indices()
         bs = self.batch_size
-        for b in range(len(self)):
-            sel = idx[b * bs : (b + 1) * bs]
-            valid = len(sel)
-            if valid < bs:
-                sel = np.concatenate([sel, np.repeat(sel[-1:], bs - valid)])
+        n_batches = len(self)
+        # pad the permutation on the host, upload it ONCE per epoch: the
+        # per-batch work below is then pure on-device dispatch (a blocking
+        # tiny H2D per batch costs a full interconnect RTT)
+        pad = n_batches * bs - len(idx)
+        if pad > 0:      # final short eval batch: repeat the last sample
+            idx_padded = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        else:            # drop_last: trailing remainder is not used
+            idx_padded = idx[: n_batches * bs]
+        idx_dev = jax.device_put(idx_padded.astype(np.int32))
+        for b in range(n_batches):
+            sel = idx_padded[b * bs : (b + 1) * bs]
+            valid = min(bs, len(idx) - b * bs)
+            sel_dev = lax.dynamic_slice(idx_dev, (b * bs,), (bs,))
             batch: Dict[str, Any] = {}
             for k, v in self.data.items():
-                b = jnp.take(v, jnp.asarray(sel), axis=0)
+                g = jnp.take(v, sel_dev, axis=0)
                 if k in self._orig_dtype:
-                    b = b.astype(self._orig_dtype[k])
-                batch[k] = b.reshape(len(sel), *self._shapes[k])
+                    g = g.astype(self._orig_dtype[k])
+                batch[k] = g.reshape(bs, *self._shapes[k])
             batch["meta"] = [self.metas[int(i)] for i in sel]
             batch["valid"] = np.int32(valid)
             yield batch

@@ -195,10 +195,17 @@ class Trainer:
     # -- helpers used by the built-in hooks ------------------------------
 
     def flush_metrics(self):
-        for m in self._pending:
-            scalars = {k: float(v) for k, v in m.items()
-                       if k != "loc_loss_elem" and np.ndim(v) == 0}
-            self.log_buffer.update(scalars)
+        if not self._pending:
+            return
+        # ONE batched device fetch for the whole interval: per-scalar
+        # float() would pay a blocking device round trip each (hundreds per
+        # interval — dominates wall clock on high-latency interconnects)
+        host = jax.device_get([
+            {k: v for k, v in m.items()
+             if k != "loc_loss_elem" and getattr(v, "ndim", 0) == 0}
+            for m in self._pending])
+        for m in host:
+            self.log_buffer.update({k: float(v) for k, v in m.items()})
         self._pending = []
 
     def save_checkpoint(self):

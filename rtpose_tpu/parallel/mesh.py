@@ -57,7 +57,16 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[s
     repl = NamedSharding(mesh, P())
     n = mesh.devices.size
 
-    def put(v):
+    def put(k, v):
+        if isinstance(v, (jax.Array, np.ndarray)) and v.ndim >= 2 \
+                and v.shape[0] % n != 0:
+            # a >=2-D array is batch data; silently replicating it would
+            # turn a wrong batch size into redundant full-batch compute on
+            # every device
+            raise ValueError(
+                f"shard_batch: '{k}' has leading dim {v.shape[0]}, not "
+                f"divisible by the {n}-device mesh — fix the global batch "
+                "size (per-device batch x device count)")
         if isinstance(v, jax.Array):
             # already on device (DeviceCachedLoader): reshard in place —
             # a device-to-device move, no host round trip
@@ -74,9 +83,9 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[s
         if k == "meta":
             out[k] = v
         elif isinstance(v, list):
-            out[k] = [put(x) for x in v]
+            out[k] = [put(k, x) for x in v]
         else:
-            out[k] = put(v)
+            out[k] = put(k, v)
     return out
 
 

@@ -29,6 +29,21 @@ class TestMesh:
         assert dev["rdr_tensor"].sharding.spec == jax.sharding.PartitionSpec("data")
         assert dev["meta"] == batch["meta"]
 
+    def test_shard_batch_rejects_misaligned_batch(self):
+        """A wrong global batch size must raise, not silently replicate the
+        whole batch onto every device (VERDICT round-1 finding)."""
+        mesh = make_mesh(4)
+        batch = {"rdr_tensor": np.zeros((6, 2, 2, 2, 1), np.float32)}
+        with pytest.raises(ValueError, match="not\\s+divisible|divisible"):
+            shard_batch(batch, mesh)
+
+    def test_shard_batch_device_resident_passthrough(self):
+        """Device-resident (DeviceCachedLoader) batches reshard d2d."""
+        mesh = make_mesh(4)
+        batch = {"rdr_tensor": jnp.zeros((8, 2, 2, 2, 1), jnp.float32)}
+        dev = shard_batch(batch, mesh)
+        assert dev["rdr_tensor"].sharding.spec == jax.sharding.PartitionSpec("data")
+
 
 class TestDataParallel:
     def test_dp_matches_single_device(self):
