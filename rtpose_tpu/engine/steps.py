@@ -144,6 +144,38 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     return train_step
 
 
+def make_epoch_step(train_step: Callable, batch_size: int,
+                    shapes: Dict[str, tuple], orig_dtypes: Dict[str, Any]
+                    ) -> Callable:
+    """Scan a whole epoch of device-cached batches inside ONE compiled call.
+
+    With the dataset resident in HBM (``DeviceCachedLoader``), the only
+    per-step host involvement left is dispatch; on high-latency links even
+    that dominates.  ``epoch_fn(state, data, idx)`` gathers each batch from
+    ``data`` (dict of (N, K) arrays), restores shapes/dtypes, and folds the
+    whole epoch into a ``lax.scan`` — one dispatch per EPOCH, metrics
+    returned stacked (n_steps, ...).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def epoch_fn(state, data, idx):
+        idx2 = idx.reshape(-1, batch_size)
+
+        def body(s, sel):
+            batch = {}
+            for k, v in data.items():
+                g = jnp.take(v, sel, axis=0)
+                if k in orig_dtypes:
+                    g = g.astype(orig_dtypes[k])
+                batch[k] = g.reshape(batch_size, *shapes[k])
+            return train_step(s, batch)
+
+        return lax.scan(body, state, idx2)
+
+    return epoch_fn
+
+
 def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor",
                    sparse: bool = False) -> Callable:
     """Forward + on-device decode; returns per-task (kpts, scores, labels).

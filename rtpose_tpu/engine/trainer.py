@@ -78,13 +78,17 @@ class Trainer:
                  meta: Optional[dict] = None,
                  enable_tensorboard: bool = True,
                  logger=None,
-                 default_hooks: bool = True):
+                 default_hooks: bool = True,
+                 fuse_epochs: bool = False):
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         self.logger = logger or get_root_logger(work_dir=self.work_dir)
         self.mesh = mesh or make_mesh()
         self.state = replicate(state, self.mesh)
+        self._raw_train_step = train_step
         self.train_step = jax.jit(train_step, donate_argnums=0)
+        self.fuse_epochs = fuse_epochs
+        self._epoch_jit = None
         self.total_epochs = total_epochs
         self.lr_fn = lr_fn
         self.log_interval = log_interval
@@ -165,6 +169,9 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, loader):
+        if (self.fuse_epochs and self.mesh.devices.size == 1
+                and hasattr(loader, "data") and hasattr(loader, "_shapes")):
+            return self.train_epoch_fused(loader)
         self.loader = loader
         self.call_hook("before_train_epoch")
         self._pending = []
@@ -189,6 +196,48 @@ class Trainer:
             }
             self.call_hook("after_train_iter")
             t_iter = time.perf_counter()
+        self.epoch += 1
+        self.call_hook("after_train_epoch")
+
+    def train_epoch_fused(self, loader):
+        """One compiled call per epoch over a device-cached dataset
+        (``make_epoch_step``) — no per-iteration host involvement at all.
+
+        Per-iteration hooks cannot fire inside the scan; epoch-level hooks
+        and interval logging (from the stacked metrics) are preserved.
+        Requires a single-device mesh and a DeviceCachedLoader.
+        """
+        from .steps import make_epoch_step
+
+        self.loader = loader
+        self.call_hook("before_train_epoch")
+        bs = loader.batch_size
+        n = len(loader)
+        idx = loader._indices()[: n * bs].astype(np.int32)
+        if self._epoch_jit is None:
+            fn = make_epoch_step(self._raw_train_step, bs, loader._shapes,
+                                 loader._orig_dtype)
+            self._epoch_jit = jax.jit(fn, donate_argnums=0)
+        t0 = time.perf_counter()
+        self._epoch_t0 = t0
+        self.state, ms = self._epoch_jit(self.state, loader.data,
+                                         jax.device_put(idx))
+        host = {k: np.asarray(v) for k, v in jax.device_get(
+            {k: v for k, v in ms.items() if k != "loc_loss_elem"}).items()}
+        per_iter = (time.perf_counter() - t0) / max(n, 1)
+        for start in range(0, n, self.log_interval):
+            end = min(start + self.log_interval, n)
+            self.inner_iter = end - 1
+            for k, vals in host.items():
+                if vals.ndim == 1:
+                    for v in vals[start:end]:
+                        self.log_buffer.update({k: float(v)})
+            self.log_buffer.update({"time": per_iter, "data_time": 0.0,
+                                    "transfer_time": 0.0,
+                                    "step_time": per_iter})
+            self.log_buffer.average(end - start)
+            self.emit_log(end, n)
+            self.log_buffer.clear_output()
         self.epoch += 1
         self.call_hook("after_train_epoch")
 

@@ -131,6 +131,83 @@ class TestHookRegistry:
         assert captured["step"] == len(loader)
 
 
+class DeviceCachedFake:
+    """Minimal DeviceCachedLoader-shaped object over an in-memory batch."""
+
+    def __init__(self, batch, n=4, bs=2):
+        import jax
+
+        self.batch_size = bs
+        self.n_batches = n
+        items = {k: np.concatenate([v] * n) for k, v in batch.items()}
+        self._shapes = {k: v.shape[1:] for k, v in items.items()}
+        self._orig_dtype = {}
+        self.data = {k: jax.device_put(v.reshape(v.shape[0], -1))
+                     for k, v in items.items()}
+        self.metas = [None] * (n * bs)
+        self.epochs_seen = []
+
+    def __len__(self):
+        return self.n_batches
+
+    def _indices(self):
+        return np.arange(self.n_batches * self.batch_size)
+
+    def set_epoch(self, epoch):
+        self.epochs_seen.append(epoch)
+
+    def __iter__(self):
+        import jax.numpy as jnp
+        idx = self._indices()
+        for b in range(self.n_batches):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield {k: jnp.take(v, jnp.asarray(sel), axis=0)
+                   .reshape(len(sel), *self._shapes[k])
+                   for k, v in self.data.items()}
+
+
+class TestFusedEpochs:
+    def test_fused_matches_per_iter(self, tmp_path):
+        """fuse_epochs=True must produce the same final params as the
+        per-iteration loop over the same device-cached batches."""
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(0)
+        batch = {
+            "rdr_tensor": rng.normal(size=(2, Z, Y, X, 1)).astype(np.float32),
+            "poses": (rng.uniform(0.3, 0.7, size=(2, 1, 15, 3))
+                      * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                      + np.array([0.0, -4.0, -1.0])).astype(np.float32),
+            "num_poses": np.ones((2,), np.int32),
+        }
+
+        from rtpose_tpu.parallel import make_mesh
+
+        def run(fused, workdir):
+            lr_fn, mom_fn = make_one_cycle_fns(10, 1e-3)
+            opt = adam_one_cycle(lr_fn, mom_fn, weight_decay=0.0,
+                                 grad_clip_norm=None)
+            state = create_train_state(model, opt,
+                                       jnp.asarray(batch["rdr_tensor"]))
+            step = make_train_step(model, head, spec, opt, lr_fn=lr_fn)
+            trainer = Trainer(step, state, work_dir=str(workdir),
+                              total_epochs=2, lr_fn=lr_fn, mesh=make_mesh(1),
+                              log_interval=2, checkpoint_interval=10,
+                              enable_tensorboard=False, fuse_epochs=fused)
+            trainer.run(DeviceCachedFake(batch))
+            return jax.device_get(trainer.state)
+
+        s_plain = run(False, tmp_path / "plain")
+        s_fused = run(True, tmp_path / "fused")
+        assert int(s_plain.step) == int(s_fused.step) == 8
+        # scan-body fusion reorders a few f32 accumulations vs the
+        # individually-jitted step; tolerance covers that compiler noise
+        for a, b in zip(jax.tree.leaves(s_plain.params),
+                        jax.tree.leaves(s_fused.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestProfilerHook:
     def test_trace_captured(self, tmp_path):
         trainer, loader = make_trainer(tmp_path, total_epochs=1)

@@ -41,6 +41,10 @@ def parse_args():
                    help="jax.checkpoint the forward: backward recomputes "
                         "activations instead of keeping them in HBM "
                         "(enables larger batches / the device cache)")
+    p.add_argument("--fuse_epochs", action="store_true",
+                   help="with --device_cache: run each epoch as ONE compiled "
+                        "lax.scan (no per-step host dispatch; per-iteration "
+                        "hooks do not fire)")
     return p.parse_args()
 
 
@@ -125,7 +129,7 @@ def main():
         lr_fn=lr_fn, mesh=make_mesh(),
         log_interval=int(dict(cfg.log_config).get("interval", 20)),
         checkpoint_interval=int(dict(cfg.checkpoint_config).get("interval", 5)),
-        meta=dict(config=cfg.text))
+        meta=dict(config=cfg.text), fuse_epochs=args.fuse_epochs)
     if args.profile:
         from rtpose_tpu.engine import ProfilerHook
         trainer.register_hook(ProfilerHook(num_steps=args.profile))
