@@ -181,6 +181,15 @@ class DeviceCachedLoader:
                     self._orig_dtype[k] = a.dtype
                     a = a.astype(jnp.dtype(cache_dtype))
                 arrays[k] = a
+        # precomputed host targets (BatchLoader.LIST_KEYS) are NOT cached —
+        # device-cached training always uses the on-device assigner, which
+        # needs raw poses; fail loudly if the dataset provides only
+        # precomputed targets
+        if "poses" not in arrays or "num_poses" not in arrays:
+            raise ValueError(
+                "DeviceCachedLoader requires 'poses'/'num_poses' in dataset "
+                "items (on-device target assignment); precomputed host "
+                "targets (hm/ind/mask/...) are not cached — use BatchLoader")
         # store every array flattened to (N, K): TPU tiles the trailing two
         # dims to (8, 128), so e.g. a (..., 160, 32)-shaped cache would pad
         # channels 32 -> 128 and QUADRUPLE its HBM footprint; one huge K

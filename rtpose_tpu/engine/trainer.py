@@ -170,7 +170,11 @@ class Trainer:
 
     def train_epoch(self, loader):
         if (self.fuse_epochs and self.mesh.devices.size == 1
-                and hasattr(loader, "data") and hasattr(loader, "_shapes")):
+                and hasattr(loader, "data") and hasattr(loader, "_shapes")
+                and len(loader._indices()) >= len(loader) * loader.batch_size):
+            # the fused scan reshapes idx[:n*bs] -> (n, bs) with no
+            # padding/valid handling; a shuffle=False non-divisible dataset
+            # (drop_last False) falls back to the per-step loop
             return self.train_epoch_fused(loader)
         self.loader = loader
         self.call_hook("before_train_epoch")

@@ -184,6 +184,9 @@ def conv3d_folded_gather(xf: jnp.ndarray, w: jnp.ndarray,
     conv3d_folded (verified in f64 by tests)."""
     kz, ky, kx, C, Co = w.shape
     assert xf.shape[-1] == FOLD * C, (xf.shape, C)
+    assert kx % 2 == 1, (
+        f"conv3d_folded_gather needs an odd X kernel (symmetric taps); "
+        f"got kx={kx} — use conv3d_folded for even kernels")
     g = gather_taps_x(xf, kx)
     wf = gather_weights_x(w.astype(xf.dtype))
     pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (0, 0)]

@@ -47,17 +47,23 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data") -> Dict[str, Any]:
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data",
+                replicate_keys: tuple = ()) -> Dict[str, Any]:
     """Put a host batch on the mesh, leading axis sharded over ``axis``.
 
     Scalars / metadata are replicated; per-task lists are sharded
     element-wise.  The global batch size must divide the mesh size.
+    Keys in ``replicate_keys`` (shared per-batch constants such as a
+    calibration matrix) are replicated without the divisibility check.
     """
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     n = mesh.devices.size
 
     def put(k, v):
+        if k in replicate_keys:
+            return jax.device_put(v, repl) if isinstance(
+                v, (jax.Array, np.ndarray, np.number, int, float)) else v
         if isinstance(v, (jax.Array, np.ndarray)) and v.ndim >= 2 \
                 and v.shape[0] % n != 0:
             # a >=2-D array is batch data; silently replicating it would

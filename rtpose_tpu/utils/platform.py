@@ -29,5 +29,13 @@ def apply_platform_env() -> None:
         if xla_bridge._backends:  # backend live: switching is impossible
             return
     except Exception:  # pragma: no cover - private API moved
+        # can't tell whether a backend is live; attempt the update anyway
+        # but never let a too-late update crash the caller
         pass
-    jax.config.update("jax_platforms", want)
+    try:
+        jax.config.update("jax_platforms", want)
+    except Exception as e:  # pragma: no cover - backend already initialized
+        import logging
+        logging.getLogger(__name__).warning(
+            "JAX_PLATFORMS=%s could not be applied (backend already "
+            "initialized?): %s", want, e)
