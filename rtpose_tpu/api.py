@@ -26,6 +26,32 @@ class Assembly:
     input_shape_zyxc: Tuple[int, int, int, int]
     one_hm: bool
     model_cfg: Any = None          # the cfg.model dict the detector was built from
+    sensor: str = "radar"          # 'radar' (dense cube) | 'lidar' (voxels)
+    voxel_shape: Tuple[int, int, int] = None  # (V, P, F) for the lidar path
+
+    @property
+    def input_key(self):
+        """Batch key holding the model input; None = the model consumes the
+        voxel sub-dict (VoxelNet batch layout)."""
+        return "rdr_tensor" if self.sensor == "radar" else None
+
+    @property
+    def sparse_head(self) -> bool:
+        """Sparse reg-tower paths exist only for the dense radar detector."""
+        return self.one_hm and self.sensor == "radar"
+
+    def example_input(self, batch: int = 1):
+        """A zeros model input for ``model.init`` / state templates."""
+        import jax.numpy as jnp
+        if self.sensor == "radar":
+            return jnp.zeros((batch, *self.input_shape_zyxc), jnp.float32)
+        V, P, F = self.voxel_shape
+        return dict(
+            voxels=jnp.zeros((batch, V, P, F), jnp.float32),
+            num_points_per_voxel=jnp.zeros((batch, V), jnp.int32),
+            coors=jnp.zeros((batch, V, 3), jnp.int32),
+            num_voxels=jnp.zeros((batch,), jnp.int32),
+        )
 
 
 def input_channels(dataset_cfg: Dict[str, Any]) -> int:
@@ -89,12 +115,27 @@ def assemble(cfg) -> Assembly:
     head_kwargs = {k: v for k, v in model_cfg["pose_head"].items() if k != "type"}
     head = CenterHead(**head_kwargs)
 
+    sensor = "lidar" if model_cfg.get("type") == "VoxelNet" else "radar"
+    voxel_shape = None
+    if sensor == "lidar":
+        # fixed voxel-batch shapes from the train pipeline's Voxelization
+        # stage (pose.py:52-142 schema) + the reader's feature width
+        vox_cfg = next((dict(p.get("cfg", p)) for p in get("train_pipeline")
+                        if p.get("type") == "Voxelization"), {})
+        V = vox_cfg.get("max_voxel_num", 20000)
+        if isinstance(V, (list, tuple)):
+            V = V[0]
+        P = int(vox_cfg.get("max_points_in_voxel", 35))
+        F = int(model_cfg["reader"].get("num_input_features", 4))
+        voxel_shape = (int(V), P, F)
+
     c_in = input_channels(dataset_cfg)
     return Assembly(model=model, head=head, target_spec=target_spec,
                     decode_spec=decode_spec,
                     input_shape_zyxc=(*grid, c_in),
                     one_hm=(mode == "one_hm"),
-                    model_cfg=model_cfg)
+                    model_cfg=model_cfg,
+                    sensor=sensor, voxel_shape=voxel_shape)
 
 
 def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,

@@ -152,6 +152,7 @@ class CRUWPoseDataset:
                 for obj in objs:
                     samples.append(dict(seq=seq, frame=frame,
                                         rdr_frame=obj["Radar_frameID"],
+                                        lidar_frame=obj.get("Lidar_frameID"),
                                         poses=[obj["pose"]]))
         return samples
 
@@ -252,3 +253,59 @@ class CRUWPoseDataset:
             total[f"ABS_PJPE_{j}"] = float(np.mean([v[f"ABS_PJPE_{j}"] for v in seq_res.values()]))
         res = {"results": total, "seq_results": {**seq_res, "ALL": total}}
         return res, None
+
+
+@DATASETS.register_module(name="CRUW_POSE_Lidar_Dataset")
+class CRUWPoseLidarDataset(CRUWPoseDataset):
+    """LiDAR branch of the CRUW-Pose stack: per-frame point clouds run
+    through the Preprocess (L2R transform + shuffle) and Voxelization
+    pipeline stages into fixed-shape voxel batches for ``VoxelNet``.
+
+    Capability parity with the reference's LiDAR path
+    (``det3d/models/detectors/voxelnet.py:8-66`` consuming
+    ``det3d/datasets/pipelines/pose.py:15-142``); labels, metadata,
+    exclusion list and MPJPE evaluation are shared with the radar dataset.
+    Point files: ``ROOT_DIR/<seq_name>/<LIDAR_DIR>/<Lidar_frameID>.npy``
+    with rows (x, y, z, intensity).
+    """
+
+    def __init__(self, cfg: Dict[str, Any], label_file: str, class_names=None,
+                 pipeline=None, split: str = "train", max_poses: int = 1,
+                 use_native: bool = True):
+        super().__init__(cfg, label_file, class_names=class_names,
+                         pipeline=pipeline, split=split, max_poses=max_poses,
+                         use_native=use_native)
+        ds = cfg["DATASET"]
+        self.lidar_dirname = ds["DIR"].get("LIDAR_DIR", "os2-64")
+        self.p_l2r = np.asarray(ds.get("P_L2R", np.eye(4)), np.float32)
+
+    def get_points(self, seq: str, lidar_frame: str) -> np.ndarray:
+        path = os.path.join(self.root_dir, self.seq_id_to_name[seq],
+                            self.lidar_dirname, f"{lidar_frame}.npy")
+        return np.load(path).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        s = self.samples[idx]
+        poses = np.zeros((self.max_poses, self.NUM_JOINTS, 3), np.float32)
+        n = min(len(s["poses"]), self.max_poses)
+        for i in range(n):
+            poses[i] = np.asarray(s["poses"][i], np.float32)
+        lidar_frame = s.get("lidar_frame") or s["rdr_frame"]
+        item = {
+            "meta": dict(seq=s["seq"], frame=s["frame"],
+                         rdr_frame=s["rdr_frame"]),
+            "lidar_pc": self.get_points(s["seq"], lidar_frame),
+            "P_L2R": self.p_l2r,
+            "poses": poses,
+            "num_poses": np.int32(n),
+            "mode": self.split,
+        }
+        if self.pipeline is not None:
+            item = self.pipeline(item, info=self.cfg)
+        # fixed-shape voxel batch only: drop the ragged point arrays and
+        # rename to the VoxelNet input layout
+        if "coordinates" in item:
+            item["coors"] = item.pop("coordinates")
+        for k in ("lidar_pc", "points", "num_points", "P_L2R", "grid_zyx"):
+            item.pop(k, None)
+        return item

@@ -79,6 +79,50 @@ def _random_pose(rng: np.random.Generator, pelvis_range=None,
     return pose
 
 
+# bone segments of the 15-joint skeleton (index pairs into the template)
+SKELETON_EDGES = ((0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6),
+                  (0, 7), (7, 8), (8, 9), (8, 10), (10, 11), (11, 12),
+                  (8, 13), (13, 14))
+
+
+def _pose_point_cloud(rng: np.random.Generator, pose: np.ndarray,
+                      points_per_bone: int = 18,
+                      clutter: int = 160) -> np.ndarray:
+    """Sample a LiDAR return set (N, 4) xyz+intensity from a skeleton pose.
+
+    Points lie on the body: along each bone segment with surface jitter,
+    densest near joints, plus ground-plane and uniform clutter returns.
+    Each joint region carries a deterministic intensity level (mirroring the
+    radar generator's identity signatures) so per-joint localisation is
+    learnable from geometry AND intensity.
+    """
+    pts = []
+    for a, b in SKELETON_EDGES:
+        t = rng.random(points_per_bone)[:, None]
+        seg = pose[a][None] * (1 - t) + pose[b][None] * t
+        seg = seg + rng.normal(scale=0.03, size=seg.shape)
+        # intensity interpolates the two joints' identity levels
+        lvl = (0.95 - 0.04 * a) * (1 - t[:, 0]) + (0.95 - 0.04 * b) * t[:, 0]
+        pts.append(np.concatenate([seg, lvl[:, None]], 1))
+    # extra returns concentrated at the joints themselves
+    for j in range(15):
+        n = 6
+        jp = pose[j][None] + rng.normal(scale=0.02, size=(n, 3))
+        lvl = np.full((n, 1), 0.95 - 0.04 * j)
+        pts.append(np.concatenate([jp, lvl], 1))
+    # ground plane + uniform clutter at low intensity
+    g = np.stack([rng.uniform(0.5, 8.0, clutter // 2),
+                  rng.uniform(-5.0, 5.0, clutter // 2),
+                  np.full(clutter // 2, -0.9) + rng.normal(
+                      scale=0.02, size=clutter // 2)], 1)
+    u = np.stack([rng.uniform(0.5, 8.0, clutter // 2),
+                  rng.uniform(-5.0, 5.0, clutter // 2),
+                  rng.uniform(-0.9, 2.0, clutter // 2)], 1)
+    lvl = rng.uniform(0.02, 0.12, (clutter, 1))
+    pts.append(np.concatenate([np.concatenate([g, u], 0), lvl], 1))
+    return np.concatenate(pts, 0).astype(np.float32)
+
+
 def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                frames_per_seq: int = 8, doppler_bins: int = 32,
                                rdr_type: str = "dzyx_real", seed: int = 0,
@@ -87,8 +131,17 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                offset_scale=(0.25, 0.25, 0.35),
                                z_clip=(-0.9, 2.0),
                                pose_mode: str = "gaussian",
-                               test_frames_per_seq: int = None) -> Dict[str, list]:
-    """Create the dataset under ``root``; returns {split: [sample keys]}."""
+                               test_frames_per_seq: int = None,
+                               with_lidar: bool = False,
+                               radar_cubes: bool = True) -> Dict[str, list]:
+    """Create the dataset under ``root``; returns {split: [sample keys]}.
+
+    ``with_lidar=True`` additionally writes per-frame LiDAR point clouds
+    (``<seq>/os2-64/<frame>.npy`` (N, 4) xyz+intensity, radar frame —
+    P_L2R = I) and records ``Lidar_frameID`` in the labels; the reference's
+    LiDAR branch consumes these through Preprocess + Voxelization
+    (``det3d/datasets/pipelines/pose.py:15-142``).  ``radar_cubes=False``
+    skips writing the (large) radar cubes for LiDAR-only datasets."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     with_doppler = "d" in rdr_type
@@ -116,15 +169,31 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
         meta_lines.append(f"{seq_id},{seq_name}")
         cube_dir = os.path.join(root, seq_name, rdr_dir)
         os.makedirs(cube_dir, exist_ok=True)
+        if with_lidar:
+            lidar_dir = os.path.join(root, seq_name, "os2-64")
+            os.makedirs(lidar_dir, exist_ok=True)
+        frame_counter = 0
         for split in ("Train", "Test"):
             splits[split].setdefault(seq_id, {})
             n_frames = (frames_per_seq if split == "Train" or
                         test_frames_per_seq is None else test_frames_per_seq)
             for fi in range(n_frames):
                 frame = f"{split.lower()}_{fi:04d}"
-                rdr_frame = f"{len(os.listdir(cube_dir)):06d}"
+                rdr_frame = f"{frame_counter:06d}"
+                frame_counter += 1
                 pose = _random_pose(rng, pelvis_range, offset_scale, z_clip,
                                     pose_mode=pose_mode)
+                if with_lidar:
+                    np.save(os.path.join(lidar_dir, f"{rdr_frame}.npy"),
+                            _pose_point_cloud(rng, pose))
+                if not radar_cubes:
+                    splits[split][seq_id][frame] = [{
+                        "Radar_frameID": rdr_frame,
+                        "Lidar_frameID": rdr_frame,
+                        "pose": pose.tolist(),
+                    }]
+                    keys[split].append(f"{seq_id}/{frame}/{rdr_frame}")
+                    continue
 
                 cube = rng.uniform(n0, n0 + 0.1 * (n1 - n0),
                                    size=(Z, Y, X)).astype(np.float32)
@@ -172,10 +241,10 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                 np.save(os.path.join(cube_dir, f"{rdr_frame}.npy"),
                         full.astype(dtype))
 
-                splits[split][seq_id][frame] = [{
-                    "Radar_frameID": rdr_frame,
-                    "pose": pose.tolist(),
-                }]
+                obj = {"Radar_frameID": rdr_frame, "pose": pose.tolist()}
+                if with_lidar:
+                    obj["Lidar_frameID"] = rdr_frame
+                splits[split][seq_id][frame] = [obj]
                 keys[split].append(f"{seq_id}/{frame}/{rdr_frame}")
 
     with open(os.path.join(root, "file_meta.txt"), "w") as f:

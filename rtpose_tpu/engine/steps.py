@@ -42,6 +42,17 @@ def create_train_state(model, optimizer, example_input, rng=None) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+VOXEL_KEYS = ("voxels", "num_points_per_voxel", "coors", "num_voxels")
+
+
+def model_input_of(batch: Dict[str, jnp.ndarray], input_key: Optional[str]):
+    """The model's input from a batch: one dense array (``input_key``), or
+    the voxel sub-dict when ``input_key`` is None (VoxelNet batch layout)."""
+    if input_key is not None:
+        return batch[input_key]
+    return {k: batch[k] for k in VOXEL_KEYS}
+
+
 def targets_from_batch(batch: Dict[str, jnp.ndarray], spec: PoseTargetSpec):
     """Per-task target lists, assigned on-device unless precomputed."""
     if "hm" in batch:
@@ -102,7 +113,7 @@ def make_train_step(model, head, spec: PoseTargetSpec,
         def compute_losses(params, batch, example):
             if sparse_reg:
                 return sparse_losses(params, batch, example)
-            preds = model.apply(params, batch[input_key])
+            preds = model.apply(params, model_input_of(batch, input_key))
             return head.loss(example, preds)
 
         if remat:
@@ -176,7 +187,8 @@ def make_epoch_step(train_step: Callable, batch_size: int,
     return epoch_fn
 
 
-def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor",
+def make_eval_step(model, head, decode_spec,
+                   input_key: Optional[str] = "rdr_tensor",
                    sparse: bool = False) -> Callable:
     """Forward + on-device decode; returns per-task (kpts, scores, labels).
 
@@ -195,7 +207,7 @@ def make_eval_step(model, head, decode_spec, input_key: str = "rdr_tensor",
         return eval_step
 
     def eval_step(params, batch):
-        preds = model.apply(params, batch[input_key])
+        preds = model.apply(params, model_input_of(batch, input_key))
         return head.predict(preds, decode_spec)
 
     return eval_step

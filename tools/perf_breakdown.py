@@ -1,0 +1,324 @@
+#!/usr/bin/env python
+"""Per-segment timing of the flagship forward + train step on the real chip.
+
+Splits the inference path (backbone / hm tower / peak-find / sparse reg) and
+the train step (target assign / loss forward / forward+backward / optimizer)
+into separately chained-scan-timed segments, each with its issued-FLOP count
+(XLA cost_analysis), so the utilization of every phase is visible — the
+aggregate numbers in bench.py (37% issued-util fwd, 39% train) can't say
+WHICH phase is off its roofline.
+
+Methodology identical to bench.py: K applications chained inside one jitted
+lax.scan (feedback via a tiny scalar so XLA cannot elide iterations), slope
+between two K values cancels dispatch RTT.
+
+Run: python tools/perf_breakdown.py [--train] [--infer] [-B 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK = 197e12
+
+
+def chained_time(fn, args, k_lo=2, k_hi=8, reps=3, feedback_arg=0):
+    """Seconds per fn application; fn(*args) -> (new_first_arg, scalar)."""
+    import jax
+    from jax import lax
+
+    def build(K):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                a2 = list(a)
+                a2[feedback_arg] = carry
+                new_c, s = fn(*a2)
+                return new_c, s
+            c, _ = lax.scan(body, a[feedback_arg], None, length=K)
+            return c.reshape(-1)[0]
+        return run
+
+    ts = {}
+    for K in (k_lo, k_hi):
+        f = build(K)
+        float(f(*args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        ts[K] = best
+    return (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+
+
+def issued_flops(fn, *args):
+    import jax
+    try:
+        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def fmt(name, sec, gf, B):
+    util = (gf * 1e9 / sec) / V5E_BF16_PEAK if sec > 0 else 0.0
+    print(f"{name:<34} {sec * 1e3:8.2f} ms  {gf:8.1f} GF issued  "
+          f"util {100 * util:5.1f}%  ({sec * 1e3 / B:.3f} ms/frame)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--infer", action="store_true")
+    ap.add_argument("-B", type=int, default=8)
+    args_ns = ap.parse_args()
+    do_train = args_ns.train or not args_ns.infer
+    do_infer = args_ns.infer or not args_ns.train
+    B = args_ns.B
+
+    import jax
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as graft
+
+    asm = graft._flagship()
+    z, y, x, c = asm.input_shape_zyxc
+    model = asm.model
+    print(f"# backend {jax.default_backend()}  grid ({z},{y},{x},{c})  B={B}")
+
+    rng = np.random.default_rng(0)
+    xb = jax.device_put(rng.random((B, z, y, x, c), np.float32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, z, y, x, c)))
+    float(xb.sum())
+
+    def feedback(carry, out_sum):
+        return carry + (out_sum * 1e-24).astype(carry.dtype)
+
+    if do_infer:
+        print("\n== inference segments ==")
+        # 1. backbone (reader -> HRNet -> fused feat, folded)
+        def seg_backbone(xc):
+            feat = model.apply(params, xc, method="extract_feat")
+            s = feat.astype(jnp.float32).sum()
+            return feedback(xc, s), s
+        t_bb = chained_time(seg_backbone, (xb,))
+        gf_bb = issued_flops(
+            lambda p, xx: model.apply(p, xx, method="extract_feat"), params, xb)
+        fmt("backbone(extract_feat)", t_bb, gf_bb / 1e9, B)
+
+        # static feat for head segments
+        feat = jax.jit(lambda p, xx: model.apply(p, xx, method="extract_feat")
+                       )(params, xb)
+        feat = jax.block_until_ready(feat)
+
+        def head_hm(p, f):
+            return model.apply(p, f, method=lambda m, ff: m.head_m(ff, branch="hm")
+                               )[0]["hm"]
+
+        def seg_hm(f):
+            hm = head_hm(params, f)
+            s = hm.sum()
+            return feedback(f, s), s
+        t_hm = chained_time(seg_hm, (feat,))
+        gf_hm = issued_flops(head_hm, params, feat)
+        fmt("hm tower", t_hm, gf_hm / 1e9, B)
+
+        hm = jax.jit(head_hm)(params, feat)
+        hm = jax.block_until_ready(hm)
+        Z, Y, X, C = hm.shape[1:]
+
+        def seg_argmax(h):
+            flat = jnp.argmax(h.reshape(B, -1, C)[..., 0], axis=1)
+            s = flat.sum().astype(jnp.float32)
+            return feedback(h, s), s
+        t_am = chained_time(seg_argmax, (hm,))
+        fmt("peak argmax", t_am, 0.0, B)
+
+        flat = jax.jit(lambda h: jnp.argmax(h.reshape(B, -1, C)[..., 0], axis=1))(hm)
+        zc = flat // (Y * X)
+        yc = (flat % (Y * X)) // X
+        xc_ = flat % X
+
+        def reg_fn(p, f):
+            return model.apply(
+                p, f, zc, yc, xc_, (Z, Y, X),
+                method=lambda m, ff, a, b2, c2, g: m._reg_patches(ff, a, b2, c2, g))
+
+        def seg_reg(f):
+            r = reg_fn(params, f)
+            s = r.astype(jnp.float32).sum()
+            return feedback(f, s), s
+        t_rg = chained_time(seg_reg, (feat,))
+        gf_rg = issued_flops(reg_fn, params, feat)
+        fmt("sparse reg patches", t_rg, gf_rg / 1e9, B)
+
+        def seg_full(xc2):
+            hm2, rp, ind = model.apply(params, xc2, method="predict_sparse")
+            s = hm2.astype(jnp.float32).sum() + rp.astype(jnp.float32).sum()
+            return feedback(xc2, s), s
+        t_full = chained_time(seg_full, (xb,))
+        gf_full = issued_flops(
+            lambda p, xx: model.apply(p, xx, method="predict_sparse"), params, xb)
+        fmt("FULL predict_sparse", t_full, gf_full / 1e9, B)
+        print(f"  sum of segments: {(t_bb + t_hm + t_am + t_rg) * 1e3:.2f} ms")
+
+    if do_train:
+        print("\n== train segments ==")
+        from rtpose_tpu.engine import create_train_state, make_train_step
+        from rtpose_tpu.engine.steps import targets_from_batch
+        from rtpose_tpu.models.losses import fast_focal_loss_logits
+        from rtpose_tpu.solver import adam_one_cycle, make_one_cycle_fns
+        import optax
+
+        spec = asm.target_spec
+        head = asm.head
+        pelvis = np.asarray(spec.pc_range_min_xyz, np.float32) + \
+            np.array([1.0, 2.0, 1.0], np.float32)
+        batch = {
+            "rdr_tensor": xb,
+            "poses": jax.device_put(np.tile(pelvis, (B, 1, 15, 1)).astype(np.float32)),
+            "num_poses": jax.device_put(np.ones((B,), np.int32)),
+        }
+
+        lr_fn, mom_fn = make_one_cycle_fns(1000, 2e-3)
+        opt = adam_one_cycle(lr_fn, mom_fn)
+        state = create_train_state(model, opt, jnp.zeros((1, z, y, x, c)))
+
+        # 1. target assignment
+        def seg_targets(xc2):
+            ex = targets_from_batch(dict(batch, rdr_tensor=xc2), spec)
+            s = ex["hm"][0].sum()
+            return feedback(xc2, s), s
+        t_tg = chained_time(seg_targets, (xb,))
+        fmt("target assign", t_tg, 0.0, B)
+
+        example = jax.jit(lambda: targets_from_batch(batch, spec))()
+        example = jax.block_until_ready(example)
+
+        def loss_fn(params, xc2):
+            ind = example["ind"][0]
+            hm_logits, reg_at_ind = model.apply(params, xc2, ind,
+                                                method="forward_sparse_train")
+            hm_loss = fast_focal_loss_logits(hm_logits, example["hm"][0], ind,
+                                             example["mask"][0], example["cat"][0])
+            maskf = example["mask"][0].astype(jnp.float32)[:, :, None]
+            target = example["anno_pose"][0]
+            l1 = jnp.abs(reg_at_ind.astype(jnp.float32) * maskf - target * maskf)
+            rl = jnp.sum(l1 / (jnp.sum(maskf) + 1e-4), axis=(0, 1))
+            code_w = jnp.asarray(head.code_weights, jnp.float32)
+            return hm_loss + head.weight * jnp.sum(rl * code_w)
+
+        # 2. loss forward only
+        def seg_lfwd(xc2):
+            l = loss_fn(state.params, xc2)
+            return feedback(xc2, l), l
+        t_lf = chained_time(seg_lfwd, (xb,))
+        gf_lf = issued_flops(loss_fn, state.params, xb)
+        fmt("loss forward (sparse)", t_lf, gf_lf / 1e9, B)
+
+        # 3. forward+backward
+        def vg(params, xc2):
+            return jax.value_and_grad(loss_fn)(params, xc2)
+
+        def seg_vg(xc2):
+            l, g = vg(state.params, xc2)
+            return feedback(xc2, l), l
+        t_vg = chained_time(seg_vg, (xb,))
+        gf_vg = issued_flops(vg, state.params, xb)
+        fmt("loss fwd+bwd (value_and_grad)", t_vg, gf_vg / 1e9, B)
+        fmt("  -> backward alone", t_vg - t_lf, (gf_vg - gf_lf) / 1e9, B)
+
+        # 4. optimizer (update + apply + finite guard)
+        grads = jax.jit(lambda p, xx: vg(p, xx)[1])(state.params, xb)
+        grads = jax.block_until_ready(grads)
+
+        def opt_step(params, opt_state, grads):
+            updates, new_os = opt.update(grads, opt_state, params)
+            new_p = optax.apply_updates(params, updates)
+            finite = jnp.isfinite(optax.global_norm(grads))
+            new_p = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                 new_p, params)
+            new_os = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                  new_os, opt_state)
+            return new_p, new_os
+
+        def seg_opt(g):
+            new_p, _ = opt_step(state.params, state.opt_state, g)
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree.leaves(new_p))
+            return jax.tree.map(
+                lambda gg: gg + (s * 1e-24).astype(gg.dtype), g), s
+        # pytree feedback: time directly (optimizer is small; RTT-dominated
+        # errors acceptable at this scale) via scan over stacked dummy
+        import jax as _jax
+
+        def build_opt(K):
+            @_jax.jit
+            def run(p, os_, g):
+                from jax import lax
+
+                def body(carry, _):
+                    p2, os2 = carry
+                    p3, os3 = opt_step(p2, os_, g)
+                    return (p3, os3), 0.0
+                (pK, _), _ = lax.scan(body, (p, os_), None, length=K)
+                return jax.tree.leaves(pK)[0].reshape(-1)[0]
+            return run
+        ts = {}
+        for K in (2, 8):
+            f = build_opt(K)
+            float(f(state.params, state.opt_state, grads))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(state.params, state.opt_state, grads))
+                best = min(best, time.perf_counter() - t0)
+            ts[K] = best
+        t_op = (ts[8] - ts[2]) / 6
+        fmt("optimizer (adam+clip+guard)", t_op, 0.0, B)
+
+        # 5. full fused step
+        step = make_train_step(model, head, spec, opt, lr_fn=lr_fn,
+                               sparse_reg=True)
+
+        def build_full(K):
+            @_jax.jit
+            def run(s, b):
+                from jax import lax
+
+                def body(st, _):
+                    s2, m = step(st, b)
+                    return s2, m["loss"]
+                s2, losses = lax.scan(body, s, None, length=K)
+                return losses[-1]
+            return run
+        ts = {}
+        for K in (2, 6):
+            f = build_full(K)
+            float(f(state, batch))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(f(state, batch))
+                best = min(best, time.perf_counter() - t0)
+            ts[K] = best
+        t_full = (ts[6] - ts[2]) / 4
+        fmt("FULL train step", t_full, 0.0, B)
+        print(f"  sum of segments: {(t_tg + t_vg + t_op) * 1e3:.2f} ms; "
+              f"steps/s {1 / t_full:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,7 @@ def main():
     # template state (opt state is discarded; checkpoints store it too)
     dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
                                grad_clip_norm=None)
-    example = jnp.zeros((1, *asm.input_shape_zyxc), jnp.float32)
-    template = create_train_state(asm.model, dummy_opt, example)
+    template = create_train_state(asm.model, dummy_opt, asm.example_input())
     state, meta = load_checkpoint(args.checkpoint, template)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"Model parameter count: {n_params}")
@@ -74,7 +73,7 @@ def main():
     mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
     params = replicate(state.params, mesh)
     eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
-                               sparse=asm.one_hm)
+                               input_key=asm.input_key, sparse=asm.sparse_head)
     detections, sec_per_frame = run_eval(
         eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
         mesh=mesh, speed_test=args.speed_test, logger=logger)

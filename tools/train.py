@@ -116,14 +116,14 @@ def main():
     optimizer = build_optimizer_from_cfg(cfg, total_steps)
 
     rng = jax.random.PRNGKey(args.seed or 0)
-    example = jnp.zeros((1, *asm.input_shape_zyxc), jnp.float32)
-    state = create_train_state(asm.model, optimizer, example, rng)
+    state = create_train_state(asm.model, optimizer, asm.example_input(), rng)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"Model parameter count: {n_params}")
 
     train_step = make_train_step(asm.model, asm.head, asm.target_spec,
                                  optimizer, lr_fn=lr_fn,
-                                 sparse_reg=asm.one_hm, remat=args.remat)
+                                 input_key=asm.input_key,
+                                 sparse_reg=asm.sparse_head, remat=args.remat)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
         lr_fn=lr_fn, mesh=make_mesh(),
@@ -147,7 +147,8 @@ def main():
                                  shard_id=process_index())
 
         from rtpose_tpu.engine import make_eval_step, run_eval
-        eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec)
+        eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
+                                   input_key=asm.input_key)
 
         def eval_fn(state, loader, epoch):
             dets, _ = run_eval(eval_step, state.params, loader, asm.decode_spec,
