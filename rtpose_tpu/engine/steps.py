@@ -156,8 +156,8 @@ def make_train_step(model, head, spec: PoseTargetSpec,
 
 
 def make_epoch_step(train_step: Callable, batch_size: int,
-                    shapes: Dict[str, tuple], orig_dtypes: Dict[str, Any]
-                    ) -> Callable:
+                    shapes: Dict[str, tuple], orig_dtypes: Dict[str, Any],
+                    mesh=None) -> Callable:
     """Scan a whole epoch of device-cached batches inside ONE compiled call.
 
     With the dataset resident in HBM (``DeviceCachedLoader``), the only
@@ -166,9 +166,19 @@ def make_epoch_step(train_step: Callable, batch_size: int,
     ``data`` (dict of (N, K) arrays), restores shapes/dtypes, and folds the
     whole epoch into a ``lax.scan`` — one dispatch per EPOCH, metrics
     returned stacked (n_steps, ...).
+
+    Multi-device: with ``mesh`` given (>1 device), the cache is expected
+    replicated and every gathered batch is sharding-constrained to
+    ``P('data')``, so the scan body runs the same data-parallel layout as
+    the per-step path (grad all-reduce inserted by GSPMD).
     """
     import jax.numpy as jnp
     from jax import lax
+
+    spmd = mesh is not None and mesh.devices.size > 1
+    if spmd:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sh = NamedSharding(mesh, P("data"))
 
     def epoch_fn(state, data, idx):
         idx2 = idx.reshape(-1, batch_size)
@@ -179,7 +189,10 @@ def make_epoch_step(train_step: Callable, batch_size: int,
                 g = jnp.take(v, sel, axis=0)
                 if k in orig_dtypes:
                     g = g.astype(orig_dtypes[k])
-                batch[k] = g.reshape(batch_size, *shapes[k])
+                g = g.reshape(batch_size, *shapes[k])
+                if spmd:
+                    g = jax.lax.with_sharding_constraint(g, data_sh)
+                batch[k] = g
             return train_step(s, batch)
 
         return lax.scan(body, state, idx2)

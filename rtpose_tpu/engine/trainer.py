@@ -169,8 +169,9 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, loader):
-        if (self.fuse_epochs and self.mesh.devices.size == 1
+        if (self.fuse_epochs
                 and hasattr(loader, "data") and hasattr(loader, "_shapes")
+                and loader.batch_size % self.mesh.devices.size == 0
                 and len(loader._indices()) >= len(loader) * loader.batch_size):
             # the fused scan reshapes idx[:n*bs] -> (n, bs) with no
             # padding/valid handling; a shuffle=False non-divisible dataset
@@ -220,8 +221,13 @@ class Trainer:
         idx = loader._indices()[: n * bs].astype(np.int32)
         if self._epoch_jit is None:
             fn = make_epoch_step(self._raw_train_step, bs, loader._shapes,
-                                 loader._orig_dtype)
+                                 loader._orig_dtype, mesh=self.mesh)
             self._epoch_jit = jax.jit(fn, donate_argnums=0)
+            if self.mesh.devices.size > 1:
+                # fused-epoch SPMD gathers read the cache replicated
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                loader.data = jax.device_put(
+                    loader.data, NamedSharding(self.mesh, P()))
         t0 = time.perf_counter()
         self._epoch_t0 = t0
         self.state, ms = self._epoch_jit(self.state, loader.data,

@@ -113,7 +113,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, weight: jnp.ndarray,
     cols = cols.reshape(B, Ho, Wo, K, C)
     wmat = weight.reshape(K, C, Cout)
     out = jnp.einsum("bhwkc,kco->bhwo", cols, wmat,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.promote_types(x.dtype,
+                                                              jnp.float32))
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)

@@ -34,7 +34,8 @@ def _free_port():
 
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):
-    from .test_e2e_cli import CONFIG_TEMPLATE, TINY_ROI
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_e2e_cli import CONFIG_TEMPLATE, TINY_ROI
     cfg_path = str(tmp_path_factory.mktemp("cfg") / "tiny_mh.py")
     with open(cfg_path, "w") as f:
         # the multihost batch is synthesized in-process; data root is unused
@@ -43,10 +44,15 @@ def tiny_cfg(tmp_path_factory):
 
 
 def _spawn(pid, nprocs, port, cfg_path, outdir, local_devices=1):
+    import re
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # worker forces cpu via config.update
+    # conftest exports ...device_count=8 for the in-process suite; strip any
+    # existing instance or the duplicate (last) flag wins in the worker
+    stripped = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                      env.get("XLA_FLAGS", ""))
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={local_devices} "
-                        + env.get("XLA_FLAGS", ""))
+                        + stripped).strip()
     return subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nprocs), str(port),
          cfg_path, outdir],

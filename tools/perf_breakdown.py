@@ -76,10 +76,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--infer", action="store_true")
+    ap.add_argument("--backbone", action="store_true",
+                    help="per-stage breakdown inside the HRNet trunk")
     ap.add_argument("-B", type=int, default=8)
     args_ns = ap.parse_args()
-    do_train = args_ns.train or not args_ns.infer
-    do_infer = args_ns.infer or not args_ns.train
+    any_flag = args_ns.train or args_ns.infer or args_ns.backbone
+    do_train = args_ns.train or not any_flag
+    do_infer = args_ns.infer or not any_flag
+    do_backbone = args_ns.backbone
     B = args_ns.B
 
     import jax
@@ -105,6 +109,98 @@ def main():
 
     def feedback(carry, out_sum):
         return carry + (out_sum * 1e-24).astype(carry.dtype)
+
+    if do_backbone:
+        print("\n== backbone per-stage (folded, fresh params) ==")
+        import flax.linen as nn
+
+        from rtpose_tpu.models.hrnet3d import (MODEL_CONFIGS,
+                                               HighResolutionModule)
+        from rtpose_tpu.models.layers import GNConv, ResNetBlock
+        from rtpose_tpu.ops.fold_conv import FOLD
+        from rtpose_tpu.ops.interpolate import resize_trilinear_folded
+
+        cfg_name = asm.model_cfg["backbone"]["backbone_cfg"]
+        mc = MODEL_CONFIGS[cfg_name]
+        dt = jnp.bfloat16
+        Zf, Yf, Xq = z, y, x // FOLD
+
+        def branch_shape(lvl, ch):
+            return (B, Zf >> lvl, Yf >> lvl, Xq >> lvl, FOLD * ch)
+
+        def time_module(name, mod, in_shapes):
+            xs = [jax.device_put(rng.random(s, np.float32)).astype(dt)
+                  for s in in_shapes]
+            p = mod.init(jax.random.PRNGKey(0),
+                         xs if len(xs) > 1 or isinstance(mod, HighResolutionModule)
+                         else xs[0])
+
+            def apply(q, *rest):
+                inp = [q, *rest]
+                out = mod.apply(p, inp if (len(inp) > 1 or isinstance(
+                    mod, HighResolutionModule)) else inp[0])
+                leaves = out if isinstance(out, (list, tuple)) else [out]
+                s = sum(o.astype(jnp.float32).sum() for o in leaves)
+                return feedback(q, s), s
+            t = chained_time(apply, tuple(xs))
+            gf = 0.0
+            try:
+                gf = issued_flops(
+                    lambda pp, *a: mod.apply(
+                        pp, list(a) if (len(a) > 1 or isinstance(
+                            mod, HighResolutionModule)) else a[0]), p, *xs)
+            except Exception:
+                pass
+            fmt(name, t, gf / 1e9, B)
+            return t
+
+        total = 0.0
+        total += time_module(
+            "layer1 (ResNetBlock full-res)",
+            ResNetBlock(mc["stage2_inplanes"], dtype=dt, folded=True),
+            [branch_shape(0, mc["stage2_inplanes"])])
+        for sname in ("stage2", "stage3", "stage4"):
+            scfg = mc.get(sname)
+            if scfg is None:
+                continue
+            mod = HighResolutionModule(
+                num_branches=scfg["num_branches"],
+                num_blocks=scfg["num_blocks"],
+                num_channels=scfg["num_channels"], dtype=dt, folded=True)
+            shapes = [branch_shape(i, c)
+                      for i, c in enumerate(scfg["num_channels"])]
+            total += time_module(f"{sname} ({scfg['num_branches']}br)", mod,
+                                 shapes)
+        # transitions (strided GNConvs creating the new branch)
+        for i, (src_ch, dst_ch) in enumerate(
+                [(mc["stage2"]["num_channels"][-1],
+                  mc["stage3"]["num_channels"][-1]),
+                 (mc["stage3"]["num_channels"][-1],
+                  mc.get("stage4", mc["stage3"])["num_channels"][-1])]):
+            lvl = i + 1
+            total += time_module(
+                f"transition{i + 2} (s2 GNConv)",
+                GNConv(dst_ch, kernel=3, stride=2, relu=True, dtype=dt,
+                       folded=True), [branch_shape(lvl, src_ch)])
+
+        # final fuse: upsample all to full res + concat + 1x1
+        class FinalFuse(nn.Module):
+            chans: tuple
+
+            @nn.compact
+            def __call__(self, xs):
+                top = xs[0]
+                tz, ty, txf = top.shape[1:4]
+                ups = [resize_trilinear_folded(f, (tz, ty, txf * FOLD))
+                       for f in xs[1:]]
+                out = jnp.concatenate([top, *ups], axis=-1)
+                return out
+
+        s4 = mc.get("stage4", mc["stage3"])
+        total += time_module(
+            "final fuse (resizes+concat)", FinalFuse(tuple(s4["num_channels"])),
+            [branch_shape(i, c) for i, c in enumerate(s4["num_channels"])])
+        print(f"  sum of stages: {total * 1e3:.2f} ms")
 
     if do_infer:
         print("\n== inference segments ==")
@@ -234,7 +330,10 @@ def main():
 
         def seg_vg(xc2):
             l, g = vg(state.params, xc2)
-            return feedback(xc2, l), l
+            # consume the grads or XLA dead-code-eliminates the backward
+            gs = sum(jnp.sum(x_.astype(jnp.float32))
+                     for x_ in jax.tree.leaves(g))
+            return feedback(xc2, l + gs), l
         t_vg = chained_time(seg_vg, (xb,))
         gf_vg = issued_flops(vg, state.params, xb)
         fmt("loss fwd+bwd (value_and_grad)", t_vg, gf_vg / 1e9, B)
