@@ -78,12 +78,16 @@ def main():
     ap.add_argument("--infer", action="store_true")
     ap.add_argument("--backbone", action="store_true",
                     help="per-stage breakdown inside the HRNet trunk")
+    ap.add_argument("--head", action="store_true",
+                    help="hm-tower internals (conv0 / out-conv variants)")
     ap.add_argument("-B", type=int, default=8)
     args_ns = ap.parse_args()
-    any_flag = args_ns.train or args_ns.infer or args_ns.backbone
+    any_flag = (args_ns.train or args_ns.infer or args_ns.backbone
+                or args_ns.head)
     do_train = args_ns.train or not any_flag
     do_infer = args_ns.infer or not any_flag
     do_backbone = args_ns.backbone
+    do_head = args_ns.head
     B = args_ns.B
 
     import jax
@@ -201,6 +205,60 @@ def main():
             "final fuse (resizes+concat)", FinalFuse(tuple(s4["num_channels"])),
             [branch_shape(i, c) for i, c in enumerate(s4["num_channels"])])
         print(f"  sum of stages: {total * 1e3:.2f} ms")
+
+    if do_head:
+        print("\n== hm tower internals (folded feat, fresh params) ==")
+        from rtpose_tpu.ops.fold_conv import (FOLD, conv3d_folded,
+                                              conv3d_folded_gather)
+
+        Cin = asm.model_cfg["pose_head"]["in_channels"]
+        hc = 32
+        shp = (B, z, y, x // FOLD, FOLD * Cin)
+        feat = jax.device_put(rng.random(shp, np.float32)).astype(jnp.bfloat16)
+        float(feat.astype(jnp.float32).sum())
+        w0 = jax.device_put(rng.normal(size=(3, 3, 3, Cin, hc))
+                            .astype(np.float32)).astype(jnp.bfloat16)
+        w1 = jax.device_put(rng.normal(size=(3, 3, 3, hc, 1))
+                            .astype(np.float32))
+
+        def seg(fn, name, *consts):
+            def apply(q):
+                o = fn(q, *consts)
+                s = o.astype(jnp.float32).sum()
+                return feedback(q, s), s
+            t = chained_time(apply, (feat,))
+            gf = issued_flops(fn, feat, *consts)
+            fmt(name, t, gf / 1e9, B)
+            return t
+
+        seg(lambda q, w: conv3d_folded_gather(q, w), "conv0 gather C128->32", w0)
+        seg(lambda q, w: conv3d_folded(q, w), "conv0 fold4 C128->32", w0)
+
+        h32 = jax.jit(lambda q: jax.nn.relu(conv3d_folded_gather(q, w0)))(feat)
+        h32 = jax.block_until_ready(h32)
+
+        def seg_h(fn, name, *consts):
+            def apply(q):
+                o = fn(q, *consts)
+                s = o.astype(jnp.float32).sum()
+                return feedback(q, s), s
+            t = chained_time(apply, (h32,))
+            gf = issued_flops(fn, h32, *consts)
+            fmt(name, t, gf / 1e9, B)
+            return t
+
+        seg_h(lambda q, w: conv3d_folded_gather(q.astype(jnp.float32),
+                                                w.astype(jnp.float32)),
+              "out gather C32->1 f32", w1)
+        seg_h(lambda q, w: conv3d_folded_gather(q, w.astype(jnp.bfloat16)),
+              "out gather C32->1 bf16", w1)
+        seg_h(lambda q, w: conv3d_folded(q, w.astype(jnp.bfloat16)),
+              "out fold4 C32->1 bf16", w1)
+        # wide-out trick: compute all FOLD x-positions AND kz z-slabs as
+        # output lanes? simplest alternative: pad Co to 8 targets
+        w8 = jnp.tile(w1.astype(jnp.bfloat16), (1, 1, 1, 1, 8))
+        seg_h(lambda q, w: conv3d_folded_gather(q, w),
+              "out gather C32->8 bf16 (pad probe)", w8)
 
     if do_infer:
         print("\n== inference segments ==")
