@@ -139,10 +139,13 @@ def assemble(cfg) -> Assembly:
 
 
 def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,
-                           max_poses: int = 1):
+                           max_poses: int = 1,
+                           device_preprocess: bool = False):
     """Build a dataset from cfg.data.{train,val,test} (reference schema)."""
     dcfg = dict(data_cfg[split])
     dcfg.pop("class_names", None)
     dcfg["split"] = "train" if split == "train" else "test"
     dcfg["max_poses"] = max_poses
+    if device_preprocess:
+        dcfg["device_preprocess"] = True
     return build_from_cfg(dcfg, DATASETS)

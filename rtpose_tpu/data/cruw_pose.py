@@ -95,9 +95,16 @@ class CRUWPoseDataset:
 
     def __init__(self, cfg: Dict[str, Any], label_file: str, class_names=None,
                  pipeline=None, split: str = "train", max_poses: int = 1,
-                 use_native: bool = True):
+                 use_native: bool = True, device_preprocess: bool = False):
         self.use_native = use_native
         ds = cfg["DATASET"]
+        # device_preprocess: items carry the ROI-cropped RAW cube in the
+        # on-disk dtype ('rdr_raw', (D, Z', Y', X') — for f16 Doppler cubes
+        # HALF the bytes of the normalized f32 tensor); cast + normalize +
+        # clamp + channels-last layout run on-chip (ops/preprocess.py fused
+        # kernel) instead of on the host (reference cruw_pose.py:167-185).
+        self.device_preprocess = bool(device_preprocess) and \
+            "complex" not in ds.get("RDR_TYPE", "zyx_real")
         self.cfg = cfg
         self.split = split
         self.class_names = class_names
@@ -198,6 +205,20 @@ class CRUWPoseDataset:
         np.maximum(arr, 0.0, out=arr)
         return arr
 
+    def get_cube_raw(self, seq: str, rdr_frame: str) -> np.ndarray:
+        """ROI-cropped cube in the ON-DISK dtype, (D, Z', Y', X') — no cast,
+        no normalize, no transpose; those run on-device (device_preprocess).
+        The host cost is one strided slice."""
+        path = os.path.join(self.root_dir, self.seq_id_to_name[seq],
+                            self.rdr_dirname, f"{rdr_frame}.npy")
+        arr = np.load(path)
+        z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
+        if self.with_doppler:
+            arr = arr[:, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
+        else:
+            arr = arr[None, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
+        return np.ascontiguousarray(arr)
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         s = self.samples[idx]
         poses = np.zeros((self.max_poses, self.NUM_JOINTS, 3), np.float32)
@@ -206,11 +227,14 @@ class CRUWPoseDataset:
             poses[i] = np.asarray(s["poses"][i], np.float32)
         item = {
             "meta": dict(seq=s["seq"], frame=s["frame"], rdr_frame=s["rdr_frame"]),
-            "rdr_tensor": self.get_cube(s["seq"], s["rdr_frame"]),
             "poses": poses,
             "num_poses": np.int32(n),
             "mode": self.split,
         }
+        if self.device_preprocess:
+            item["rdr_raw"] = self.get_cube_raw(s["seq"], s["rdr_frame"])
+        else:
+            item["rdr_tensor"] = self.get_cube(s["seq"], s["rdr_frame"])
         if self.pipeline is not None:
             item = self.pipeline(item, info=self.cfg)
         return item

@@ -45,12 +45,32 @@ def create_train_state(model, optimizer, example_input, rng=None) -> TrainState:
 VOXEL_KEYS = ("voxels", "num_points_per_voxel", "coors", "num_voxels")
 
 
-def model_input_of(batch: Dict[str, jnp.ndarray], input_key: Optional[str]):
+def preprocess_raw(raw: jnp.ndarray, norm: tuple) -> jnp.ndarray:
+    """On-device preprocessing of a ROI-cropped RAW cube batch.
+
+    (B, D, Z', Y', X') disk-dtype -> (B, Z', Y', X', D) f32 normalized —
+    the device-side replacement for the reference's host ``get_cube``
+    (cruw_pose.py:167-185).  f32/bf16 inputs run the fused Pallas kernel
+    (ops/preprocess.py); f16 lowers through XLA (Mosaic has no f16).
+    """
+    from ..ops.preprocess import fused_preprocess_batch
+    B, D, Z, Y, X = raw.shape
+    roi = (0, Z - 1, 0, Y - 1, 0, X - 1)
+    return fused_preprocess_batch(raw, roi, float(norm[0]), float(norm[1]))
+
+
+def model_input_of(batch: Dict[str, jnp.ndarray], input_key: Optional[str],
+                   preprocess: Optional[tuple] = None):
     """The model's input from a batch: one dense array (``input_key``), or
-    the voxel sub-dict when ``input_key`` is None (VoxelNet batch layout)."""
-    if input_key is not None:
-        return batch[input_key]
-    return {k: batch[k] for k in VOXEL_KEYS}
+    the voxel sub-dict when ``input_key`` is None (VoxelNet batch layout).
+    A batch carrying 'rdr_raw' is preprocessed on-device first."""
+    if input_key is None:
+        return {k: batch[k] for k in VOXEL_KEYS}
+    if input_key == "rdr_tensor" and "rdr_raw" in batch:
+        assert preprocess is not None, \
+            "raw batches need the (norm_start, norm_scale) window"
+        return preprocess_raw(batch["rdr_raw"], preprocess)
+    return batch[input_key]
 
 
 def targets_from_batch(batch: Dict[str, jnp.ndarray], spec: PoseTargetSpec):
@@ -70,7 +90,8 @@ def make_train_step(model, head, spec: PoseTargetSpec,
                     lr_fn: Optional[Callable] = None,
                     input_key: str = "rdr_tensor",
                     sparse_reg: bool = False,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    preprocess: Optional[tuple] = None) -> Callable:
     """Build the fused train step.
 
     ``head`` is the (unbound) CenterHead module — its ``loss`` uses only
@@ -92,8 +113,9 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     def sparse_losses(params, batch, example):
         from ..models.losses import fast_focal_loss_logits
         ind = example["ind"][0]
-        hm_logits, reg_at_ind = model.apply(params, batch[input_key], ind,
-                                            method="forward_sparse_train")
+        hm_logits, reg_at_ind = model.apply(
+            params, model_input_of(batch, input_key, preprocess), ind,
+            method="forward_sparse_train")
         hm_loss = fast_focal_loss_logits(hm_logits, example["hm"][0], ind,
                                          example["mask"][0], example["cat"][0])
         maskf = example["mask"][0].astype(jnp.float32)[:, :, None]
@@ -113,7 +135,8 @@ def make_train_step(model, head, spec: PoseTargetSpec,
         def compute_losses(params, batch, example):
             if sparse_reg:
                 return sparse_losses(params, batch, example)
-            preds = model.apply(params, model_input_of(batch, input_key))
+            preds = model.apply(
+                params, model_input_of(batch, input_key, preprocess))
             return head.loss(example, preds)
 
         if remat:
@@ -202,7 +225,8 @@ def make_epoch_step(train_step: Callable, batch_size: int,
 
 def make_eval_step(model, head, decode_spec,
                    input_key: Optional[str] = "rdr_tensor",
-                   sparse: bool = False) -> Callable:
+                   sparse: bool = False,
+                   preprocess: Optional[tuple] = None) -> Callable:
     """Forward + on-device decode; returns per-task (kpts, scores, labels).
 
     ``sparse=True`` (single-task one_hm configs): the reg tower runs only on
@@ -214,13 +238,15 @@ def make_eval_step(model, head, decode_spec,
 
         def eval_step(params, batch):
             hm, reg_at_peak, peak_ind = model.apply(
-                params, batch[input_key], method="predict_sparse")
+                params, model_input_of(batch, input_key, preprocess),
+                method="predict_sparse")
             return [decode_pose_sparse(hm, reg_at_peak, peak_ind, decode_spec)]
 
         return eval_step
 
     def eval_step(params, batch):
-        preds = model.apply(params, model_input_of(batch, input_key))
+        preds = model.apply(params,
+                            model_input_of(batch, input_key, preprocess))
         return head.predict(preds, decode_spec)
 
     return eval_step

@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--speed_test", action="store_true")
     p.add_argument("--testset", action="store_true")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship ROI-cropped RAW cubes; cast/normalize/layout "
+                        "run on-chip (fused Pallas preprocess)")
     return p.parse_args()
 
 
@@ -56,7 +59,10 @@ def main():
     split = "test" if args.testset else "val"
     print("Use Test Set" if args.testset else "Use Val Set")
     dataset = build_dataset_from_cfg(cfg.data, split,
-                                     max_poses=asm.target_spec.max_poses)
+                                     max_poses=asm.target_spec.max_poses,
+                                     device_preprocess=args.device_preprocess)
+    preprocess = ((dataset.norm_start, dataset.norm_scale)
+                  if getattr(dataset, "device_preprocess", False) else None)
     batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,
                          drop_last=False, num_shards=process_count(),
@@ -73,7 +79,8 @@ def main():
     mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
     params = replicate(state.params, mesh)
     eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
-                               input_key=asm.input_key, sparse=asm.sparse_head)
+                               input_key=asm.input_key, sparse=asm.sparse_head,
+                               preprocess=preprocess)
     detections, sec_per_frame = run_eval(
         eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
         mesh=mesh, speed_test=args.speed_test, logger=logger)

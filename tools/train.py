@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N train steps "
                         "into <work_dir>/profile")
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="ship ROI-cropped RAW cubes (disk dtype, half the "
+                        "bytes for f16 data) and run cast/normalize/layout "
+                        "on-chip (fused Pallas preprocess)")
     p.add_argument("--device_cache", action="store_true",
                    help="upload the whole training set to HBM once and "
                         "build batches with on-device gathers (small "
@@ -87,7 +91,10 @@ def main():
     total_epochs = args.total_epochs or int(cfg.total_epochs)
 
     dataset = build_dataset_from_cfg(cfg.data, "train",
-                                     max_poses=asm.target_spec.max_poses)
+                                     max_poses=asm.target_spec.max_poses,
+                                     device_preprocess=args.device_preprocess)
+    preprocess = ((dataset.norm_start, dataset.norm_scale)
+                  if getattr(dataset, "device_preprocess", False) else None)
     per_host_bs = int(cfg.data["samples_per_gpu"]) * jax.local_device_count()
     if args.device_cache or cfg.data.get("device_cache", False):
         from rtpose_tpu.data import DeviceCachedLoader
@@ -123,7 +130,8 @@ def main():
     train_step = make_train_step(asm.model, asm.head, asm.target_spec,
                                  optimizer, lr_fn=lr_fn,
                                  input_key=asm.input_key,
-                                 sparse_reg=asm.sparse_head, remat=args.remat)
+                                 sparse_reg=asm.sparse_head, remat=args.remat,
+                                 preprocess=preprocess)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
         lr_fn=lr_fn, mesh=make_mesh(),
