@@ -266,39 +266,28 @@ class HRNet3D(nn.Module):
                                   name="final_conv", dtype=dtype,
                                   folded=folded)(out)
             return out
-        denom = FOLD if folded else 1
-        block_ch = [f.shape[-1] // denom for f in feats]
-        full = (top.shape[1], top.shape[2],
-                top.shape[3] * (FOLD if folded else 1))
-
-        def up(f):
-            if folded:
-                return resize_trilinear_folded(f.astype(top.dtype), full)
-            return resize_trilinear_align_corners(f.astype(top.dtype), full)
-
+        if folded:
+            tz, ty, txf = top.shape[1:4]
+            ups = [resize_trilinear_folded(f.astype(top.dtype),
+                                           (tz, ty, txf * FOLD))
+                   for f in feats[1:]]
+        else:
+            ups = [resize_trilinear_align_corners(f.astype(top.dtype),
+                                                  top.shape[1:4])
+                   for f in feats[1:]]
+        out = jnp.concatenate([top, *ups], axis=-1)
         if self.final_fuse == "conat_conv" and self.final_conv_in != self.final_conv_out:
+            denom = FOLD if folded else 1
+            block_ch = [f.shape[-1] // denom for f in [top, *ups]]
             # canonical (1,1,1,Cin,Cout) param shared by both layouts
             w = self.param("final_conv_kernel", nn.initializers.he_normal(),
                            (1, 1, 1, sum(block_ch), self.final_conv_out))
             b = self.param("final_conv_bias", nn.initializers.zeros_init(),
                            (self.final_conv_out,))
-            # the pointwise conv commutes with the (linear) trilinear
-            # resize: apply each branch's kernel slice at that branch's OWN
-            # resolution, then upsample the (narrow) result and sum — the
-            # concat tensor and the full-res wide inputs never materialize
-            from ..ops.fold_conv import conv3d_folded_1x1, conv3d_naive
-            out = None
-            off = 0
-            for i, (f, Cb) in enumerate(zip(feats, block_ch)):
-                wb = w[:, :, :, off:off + Cb, :].astype(top.dtype)
-                off += Cb
-                if folded:
-                    y = conv3d_folded_1x1(f.astype(top.dtype), wb, None)
-                else:
-                    y = conv3d_naive(f.astype(top.dtype), wb, None)
-                if i > 0:
-                    y = up(y)
-                out = y if out is None else out + y
-            bias = jnp.tile(b, FOLD) if folded else b
-            return out + bias.astype(out.dtype)
-        return jnp.concatenate([top, *[up(f) for f in feats[1:]]], axis=-1)
+            if folded:
+                from ..ops.fold_conv import conv3d_folded_concat
+                out = conv3d_folded_concat(out, w.astype(out.dtype), block_ch, b)
+            else:
+                from ..ops.fold_conv import conv3d_naive
+                out = conv3d_naive(out, w.astype(out.dtype), b)
+        return out

@@ -91,20 +91,6 @@ def conv3d_folded_concat(xf: jnp.ndarray, w: jnp.ndarray, block_channels,
                          ) -> jnp.ndarray:
     """conv3d_folded for a concat-of-folded-tensors input."""
     kz, ky, kx, C_total, Co = w.shape
-    if (kz, ky, kx) == (1, 1, 1) and stride == 1:
-        # pointwise: per-block lane matmuls, no kernel inflation
-        out = None
-        off_f = off_c = 0
-        for Cb in block_channels:
-            part = conv3d_folded_1x1(
-                xf[..., off_f:off_f + FOLD * Cb],
-                w[:, :, :, off_c:off_c + Cb, :], None)
-            out = part if out is None else out + part
-            off_f += FOLD * Cb
-            off_c += Cb
-        if bias is not None:
-            out = out + jnp.tile(bias, FOLD).astype(out.dtype)
-        return out
     entries, s_min, s_max = _fold_entries(kx, stride)
     wf = fold_weights_concat(w.astype(xf.dtype), tuple(block_channels), stride)
     pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
@@ -130,29 +116,6 @@ def unfold_x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, Z, Y, Xf * FOLD, Cf // FOLD)
 
 
-def conv3d_folded_1x1(xf: jnp.ndarray, w: jnp.ndarray,
-                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """1x1x1 conv on a folded tensor as a lane-blocked matmul.
-
-    A pointwise conv is fold-lane-local, so the folded form needs NO kernel
-    inflation: reshape lanes to (..., FOLD, C) and contract C with (C, Co) —
-    issue factor 1 (vs 4x through the generic folded kernel, which embeds
-    the same matmul in a block-diagonal (4C, 4Co) kernel of 3/4 zeros).
-    """
-    C, Co = w.shape[-2], w.shape[-1]
-    lead = xf.shape[:-1]
-    x4 = xf.reshape(*lead, FOLD, C)
-    # f32 accumulation (the lax conv path's MXU default for bf16 inputs)
-    out = jnp.einsum("...fc,co->...fo", x4,
-                     w.reshape(C, Co).astype(xf.dtype),
-                     preferred_element_type=jnp.promote_types(xf.dtype,
-                                                              jnp.float32))
-    out = out.astype(xf.dtype).reshape(*lead, FOLD * Co)
-    if bias is not None:
-        out = out + jnp.tile(bias, FOLD).astype(out.dtype)
-    return out
-
-
 def conv3d_folded(xf: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1) -> jnp.ndarray:
     """Conv on an already-folded tensor.
@@ -164,8 +127,6 @@ def conv3d_folded(xf: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = No
     """
     kz, ky, kx, C, Co = w.shape
     assert xf.shape[-1] == FOLD * C, (xf.shape, C)
-    if (kz, ky, kx) == (1, 1, 1) and stride == 1:
-        return conv3d_folded_1x1(xf, w, bias)
     entries, s_min, s_max = _fold_entries(kx, stride)
     wf = fold_weights_x4(w.astype(xf.dtype), stride)
     pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
