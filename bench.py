@@ -143,15 +143,61 @@ def measure_pipeline(np, B=8, epochs=2):
     t0 = time.perf_counter()
     n = sum(one_epoch(True) for _ in range(epochs))
     pipeline_fps = n / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    n = sum(one_epoch(False) for _ in range(epochs))
-    loader_fps = n / (time.perf_counter() - t0)
-    bottleneck = ("host loader" if loader_fps < 1.25 * pipeline_fps
-                  else "device model")
-    print(f"# pipeline (disk->host->HBM->model->decode): {pipeline_fps:.0f} "
-          f"frames/s sustained; loader alone: {loader_fps:.0f} frames/s "
-          f"-> bottleneck: {bottleneck} (1-core host)", file=sys.stderr)
-    return pipeline_fps, loader_fps
+
+    # ---- per-stage split (ms/frame), warm page cache ----
+    stages = {}
+    n_probe = min(len(ds), 16)
+
+    t0 = time.perf_counter()                      # 1. disk read (raw bytes)
+    nbytes = 0
+    for i in range(n_probe):
+        s = ds.samples[i]
+        p = os.path.join(ds.root_dir, ds.seq_id_to_name[s["seq"]],
+                         ds.rdr_dirname, f"{s['rdr_frame']}.npy")
+        with open(p, "rb") as f:
+            nbytes += len(f.read())
+    stages["disk read"] = (time.perf_counter() - t0) / n_probe
+
+    t0 = time.perf_counter()                      # 2. decode+crop+normalize
+    for i in range(n_probe):
+        ds[i]
+    stages["host decode+crop"] = (time.perf_counter() - t0) / n_probe \
+        - stages["disk read"]
+
+    items = [ds[i] for i in range(min(B, n_probe))]
+    hb = {k: np.stack([it[k] for it in items]) for k in
+          ("rdr_tensor", "poses", "num_poses")}
+    dev = {k: jax.device_put(v) for k, v in hb.items()}
+    jax.block_until_ready(dev)
+    t0 = time.perf_counter()                      # 3. H2D transfer
+    for _ in range(3):
+        dev = {k: jax.device_put(v) for k, v in hb.items()}
+        jax.block_until_ready(dev)
+    stages["H2D"] = (time.perf_counter() - t0) / (3 * len(items))
+
+    eval_jit(params, dev)                         # warm
+    t0 = time.perf_counter()                      # 4. device forward+decode
+    for _ in range(3):
+        jax.block_until_ready(eval_jit(params, dev))
+    stages["device model"] = (time.perf_counter() - t0) / (3 * len(items))
+
+    per_task = jax.device_get(eval_jit(params, dev))
+    metas = [it["meta"] for it in items]
+    t0 = time.perf_counter()                      # 5. host post-process
+    for _ in range(3):
+        for kpts, scores, labels in per_task:
+            post_process_pose(kpts, scores, labels, asm.decode_spec,
+                              metas=metas, one_hm=True)
+    stages["host post"] = (time.perf_counter() - t0) / (3 * len(items))
+
+    worst = max(stages, key=stages.get)
+    detail = ", ".join(f"{k} {1e3 * v:.1f}" for k, v in stages.items())
+    print(f"# pipeline sustained: {pipeline_fps:.0f} frames/s; per-stage "
+          f"ms/frame: {detail} -> bottleneck: {worst} "
+          f"({1e3 * stages[worst]:.1f} ms/frame; NOTE 1-core host — host "
+          f"stages parallelize ~linearly with cores on real TPU-VM hosts)",
+          file=sys.stderr)
+    return pipeline_fps, stages
 
 
 def measure_train(asm, np, B=8, k_lo=2, k_hi=4):

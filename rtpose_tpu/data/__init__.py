@@ -3,3 +3,4 @@ from .pipelines import Compose, AssignLabelPose, AssignLabelPose2
 from .loader import BatchLoader, DeviceCachedLoader, shard_indices
 from .synthetic import generate_synthetic_dataset
 from .builder import build_dataset
+from .wrappers import ConcatDataset, RepeatDataset

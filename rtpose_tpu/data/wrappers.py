@@ -11,9 +11,18 @@ from ..registry import DATASETS
 
 @DATASETS.register_module
 class ConcatDataset:
-    def __init__(self, datasets):
-        self.datasets = list(datasets)
+    def __init__(self, datasets, **common):
+        """``datasets``: dataset objects or config dicts; ``common`` keys
+        (split / max_poses / device_preprocess from the builder) merge into
+        every child config."""
+        from .builder import build_dataset
+        self.datasets = [build_dataset({**d, **common})
+                         if isinstance(d, dict) else d for d in datasets]
         self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __getattr__(self, name):
+        # delegate metadata lookups (norm window, evaluation) to the first child
+        return getattr(self.datasets[0], name)
 
     def __len__(self):
         return self.cumulative_sizes[-1]

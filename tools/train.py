@@ -103,7 +103,7 @@ def main():
                                     shard_id=process_index(),
                                     seed=args.seed or 0,
                                     cache_dtype=args.cache_dtype,
-                                    max_bytes=8_000_000_000)
+                                    max_bytes=12_000_000_000)
         logger.info(f"device-cached {len(dataset)} samples "
                     f"({loader.nbytes / 1e9:.2f} GB in HBM)")
     else:
