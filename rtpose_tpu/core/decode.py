@@ -101,6 +101,40 @@ def decode_pose_preds(hm_logits: jnp.ndarray, reg: jnp.ndarray, spec: DecodeSpec
     return kpts, scores, labels
 
 
+def decode_pose_multi(hm_logits: jnp.ndarray, reg: jnp.ndarray,
+                      spec: DecodeSpec, max_objects: int):
+    """Multi-person decode for the one-heatmap head: CenterNet-style local
+    maxima (3^3 max-pool equality) followed by ``top_k`` over the pelvis
+    channel, each peak decoding its own 15-joint pose from the 45-dim
+    regression at that voxel.
+
+    The reference surface is single-person (its evaluation reads one object
+    per frame); this is the TPU-new extension exercising multi-object
+    assignment (``max_poses > 1``) end-to-end.
+
+    Returns (kpts (B, P, K, 3), scores (B, P), valid via score ordering).
+    """
+    B, Z, Y, X, C = hm_logits.shape
+    K = reg.shape[-1] // 3
+    hm = jax.nn.sigmoid(hm_logits[..., 0].astype(jnp.float32))     # (B,Z,Y,X)
+    # local-maximum suppression: a peak must equal its 3^3 neighborhood max
+    pooled = jax.lax.reduce_window(
+        hm, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (1, 1)])
+    peaks = jnp.where(hm == pooled, hm, 0.0).reshape(B, -1)
+    scores, flat_ind = jax.lax.top_k(peaks, max_objects)           # (B, P)
+
+    z = (flat_ind // (Y * X)).astype(jnp.float32)
+    y = ((flat_ind % (Y * X)) // X).astype(jnp.float32)
+    x = (flat_ind % X).astype(jnp.float32)
+    base = jnp.stack([x, y, z], axis=-1)                           # (B, P, 3)
+    regf = reg.astype(jnp.float32).reshape(B, Z * Y * X, 3 * K)
+    off = jnp.take_along_axis(regf, flat_ind[..., None], axis=1)   # (B, P, 3K)
+    off = off.reshape(B, max_objects, K, 3)
+    kpts = _voxel_to_world(base[:, :, None, :] + off, spec)        # (B,P,K,3)
+    return kpts, scores
+
+
 def decode_pose_sparse(hm_logits: jnp.ndarray, reg_at_peak: jnp.ndarray,
                        peak_ind: jnp.ndarray, spec: DecodeSpec):
     """Decode from the sparse head outputs (hm dense, reg only at the peak).

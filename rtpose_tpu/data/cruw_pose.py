@@ -95,7 +95,12 @@ class CRUWPoseDataset:
 
     def __init__(self, cfg: Dict[str, Any], label_file: str, class_names=None,
                  pipeline=None, split: str = "train", max_poses: int = 1,
-                 use_native: bool = True, device_preprocess: bool = False):
+                 use_native: bool = True, device_preprocess: bool = False,
+                 group_by_frame: bool = False):
+        # group_by_frame: merge a frame's objects into ONE multi-pose sample
+        # (the reference emits one sample per object, cruw_pose.py:90-94;
+        # grouping exercises multi-object assignment/decode with max_poses>1)
+        self.group_by_frame = bool(group_by_frame)
         self.use_native = use_native
         ds = cfg["DATASET"]
         # device_preprocess: items carry the ROI-cropped RAW cube in the
@@ -156,6 +161,13 @@ class CRUWPoseDataset:
             if self.seq_id_to_name.get(seq) in EXCLUDED_SEQS:
                 continue
             for frame, objs in frames.items():
+                if getattr(self, "group_by_frame", False) and objs:
+                    samples.append(dict(
+                        seq=seq, frame=frame,
+                        rdr_frame=objs[0]["Radar_frameID"],
+                        lidar_frame=objs[0].get("Lidar_frameID"),
+                        poses=[o["pose"] for o in objs]))
+                    continue
                 for obj in objs:
                     samples.append(dict(seq=seq, frame=frame,
                                         rdr_frame=obj["Radar_frameID"],

@@ -133,7 +133,8 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                pose_mode: str = "gaussian",
                                test_frames_per_seq: int = None,
                                with_lidar: bool = False,
-                               radar_cubes: bool = True) -> Dict[str, list]:
+                               radar_cubes: bool = True,
+                               persons_per_frame: int = 1) -> Dict[str, list]:
     """Create the dataset under ``root``; returns {split: [sample keys]}.
 
     ``with_lidar=True`` additionally writes per-frame LiDAR point clouds
@@ -181,30 +182,42 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                 frame = f"{split.lower()}_{fi:04d}"
                 rdr_frame = f"{frame_counter:06d}"
                 frame_counter += 1
-                pose = _random_pose(rng, pelvis_range, offset_scale, z_clip,
-                                    pose_mode=pose_mode)
+                # persons_per_frame > 1: pelvis centers kept >= 1.2 m
+                # apart so assignment/decode see separable objects
+                poses = []
+                for _ in range(64):
+                    cand = _random_pose(rng, pelvis_range, offset_scale,
+                                        z_clip, pose_mode=pose_mode)
+                    if all(np.linalg.norm(cand[0, :2] - q[0, :2]) >= 1.2
+                           for q in poses):
+                        poses.append(cand)
+                    if len(poses) == persons_per_frame:
+                        break
+                pose = poses[0]
                 if with_lidar:
                     np.save(os.path.join(lidar_dir, f"{rdr_frame}.npy"),
-                            _pose_point_cloud(rng, pose))
+                            np.concatenate([_pose_point_cloud(rng, q)
+                                            for q in poses], 0))
                 if not radar_cubes:
                     splits[split][seq_id][frame] = [{
                         "Radar_frameID": rdr_frame,
                         "Lidar_frameID": rdr_frame,
-                        "pose": pose.tolist(),
-                    }]
+                        "pose": q.tolist(),
+                    } for q in poses]
                     keys[split].append(f"{seq_id}/{frame}/{rdr_frame}")
                     continue
 
                 cube = rng.uniform(n0, n0 + 0.1 * (n1 - n0),
                                    size=(Z, Y, X)).astype(np.float32)
                 # continuous fractional voxel coords (sub-voxel position)
-                fz = (pose[:, 2] - arr_z[0]) / (11.6 / 32)
-                fy = (pose[:, 1] - arr_y[0]) / (20.1 / 128)
-                fx = (pose[:, 0] - arr_x[0]) / (11.6 / 256)
+                all_pose = np.concatenate(poses, 0)       # (P*15, 3)
+                fz = (all_pose[:, 2] - arr_z[0]) / (11.6 / 32)
+                fy = (all_pose[:, 1] - arr_y[0]) / (20.1 / 128)
+                fx = (all_pose[:, 0] - arr_x[0]) / (11.6 / 256)
                 zi = np.clip(np.round(fz).astype(int), 1, Z - 2)
                 yi = np.clip(np.round(fy).astype(int), 1, Y - 2)
                 xi = np.clip(np.round(fx).astype(int), 1, X - 2)
-                for j in range(15):
+                for j in range(15 * len(poses)):
                     # deterministic per-joint intensity level: gives joints an
                     # identity signature so keypoint regression is learnable
                     # from synthetic data (real radar encodes identity via
@@ -212,7 +225,7 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                     # the BRIGHTEST (largest radar cross-section in reality),
                     # which also makes the center heatmap's argmax target
                     # consistent with the intensity argmax.
-                    level = 0.95 - 0.04 * j - 0.05 * rng.random()
+                    level = 0.95 - 0.04 * (j % 15) - 0.05 * rng.random()
                     # gaussian splat centered at the CONTINUOUS position, so
                     # blob intensity gradients encode the sub-voxel offset
                     # the regression head must recover
@@ -241,10 +254,13 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                 np.save(os.path.join(cube_dir, f"{rdr_frame}.npy"),
                         full.astype(dtype))
 
-                obj = {"Radar_frameID": rdr_frame, "pose": pose.tolist()}
-                if with_lidar:
-                    obj["Lidar_frameID"] = rdr_frame
-                splits[split][seq_id][frame] = [obj]
+                objs = []
+                for q in poses:
+                    obj = {"Radar_frameID": rdr_frame, "pose": q.tolist()}
+                    if with_lidar:
+                        obj["Lidar_frameID"] = rdr_frame
+                    objs.append(obj)
+                splits[split][seq_id][frame] = objs
                 keys[split].append(f"{seq_id}/{frame}/{rdr_frame}")
 
     with open(os.path.join(root, "file_meta.txt"), "w") as f:
