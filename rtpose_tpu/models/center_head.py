@@ -98,6 +98,12 @@ class CenterHead(nn.Module):
     dtype: Any = None
     fold_x: bool = True
     final_dtype: Any = jnp.float32
+    # "logits": numerically-stable logits-form focal (default — same math as
+    # the reference wherever its clamp is inactive, but no gradient dead
+    # zone).  "clamped": the reference's exact clamp(sigmoid, 1e-4, 1-1e-4)
+    # form (centernet_loss.py:6-31) — used by the end-to-end training
+    # trajectory parity suite.
+    focal_form: str = "logits"
 
     @property
     def num_classes(self) -> List[int]:
@@ -151,14 +157,22 @@ class CenterHead(nn.Module):
         code_w = jnp.asarray(self.code_weights, jnp.float32)
         rets = []
         for task_id, preds in enumerate(preds_dicts):
-            # logits-form focal loss: same math as the reference's clamped
-            # sigmoid wherever the clamp is inactive, but no gradient dead
-            # zone (see fast_focal_loss_logits)
-            hm_loss = fast_focal_loss_logits(preds["hm"],
-                                             example["hm"][task_id],
-                                             example["ind"][task_id],
-                                             example["mask"][task_id],
-                                             example["cat"][task_id])
+            if self.focal_form == "clamped":
+                from .losses import fast_focal_loss
+                hm_loss = fast_focal_loss(clamped_sigmoid(preds["hm"]),
+                                          example["hm"][task_id],
+                                          example["ind"][task_id],
+                                          example["mask"][task_id],
+                                          example["cat"][task_id])
+            else:
+                # logits-form focal loss: same math as the reference's clamped
+                # sigmoid wherever the clamp is inactive, but no gradient dead
+                # zone (see fast_focal_loss_logits)
+                hm_loss = fast_focal_loss_logits(preds["hm"],
+                                                 example["hm"][task_id],
+                                                 example["ind"][task_id],
+                                                 example["mask"][task_id],
+                                                 example["cat"][task_id])
             rl = reg_loss(preds["reg"].astype(jnp.float32),
                           example["mask"][task_id],
                           example["ind"][task_id],
