@@ -37,8 +37,19 @@ class Assembly:
 
     @property
     def sparse_head(self) -> bool:
-        """Sparse reg-tower paths exist only for the dense radar detector."""
-        return self.one_hm and self.sensor == "radar"
+        """Sparse reg-tower paths exist only for the dense radar detector,
+        and are single-peak — multi-person configs use the dense step and
+        the multi-peak decode instead."""
+        return (self.one_hm and self.sensor == "radar"
+                and self.target_spec.max_poses == 1)
+
+    @property
+    def multi_poses(self) -> int:
+        """Top-P multi-person decode count (0 = single-person surface)."""
+        if (self.one_hm and self.sensor == "radar"
+                and self.target_spec.max_poses > 1):
+            return self.target_spec.max_poses
+        return 0
 
     def example_input(self, batch: int = 1):
         """A zeros model input for ``model.init`` / state templates."""
@@ -146,6 +157,11 @@ def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,
     dcfg.pop("class_names", None)
     dcfg["split"] = "train" if split == "train" else "test"
     dcfg["max_poses"] = max_poses
+    if max_poses > 1:
+        # multi-person configs: one SAMPLE per frame carrying all its
+        # objects (the reference emits one sample per object and evaluates
+        # only objects[0]; grouping is what makes max_poses>1 meaningful)
+        dcfg["group_by_frame"] = True
     if device_preprocess:
         dcfg["device_preprocess"] = True
     return build_from_cfg(dcfg, DATASETS)

@@ -158,6 +158,38 @@ def decode_pose_sparse(hm_logits: jnp.ndarray, reg_at_peak: jnp.ndarray,
     return kpts, scores, labels
 
 
+def post_process_pose_multi(kpts, scores, spec: DecodeSpec, metas=None):
+    """Multi-person variant of :func:`post_process_pose` for
+    ``decode_pose_multi`` outputs: ``kpts (B, P, K, 3)`` / ``scores (B, P)``.
+
+    Each decoded pose contributes its K joints tagged with the pose's
+    center-peak score, concatenated in score order (groups of K — the
+    evaluation side re-splits on K).  Sub-threshold poses after the first
+    are dropped.  TPU-new: the reference's surface is single-person.
+    """
+    import numpy as np
+
+    kpts = np.asarray(kpts)
+    scores = np.asarray(scores)
+    B, P, K, _ = kpts.shape
+    out = []
+    for b in range(B):
+        pts = []
+        for p in range(P):
+            sc = float(scores[b, p])
+            if p > 0 and sc <= spec.score_threshold:
+                continue
+            for j in range(K):
+                pts.append((j, float(kpts[b, p, j, 0]),
+                            float(kpts[b, p, j, 1]),
+                            float(kpts[b, p, j, 2]), sc))
+        ret = {"keypoints": pts}
+        if metas is not None:
+            ret["metadata"] = metas[b]
+        out.append(ret)
+    return out
+
+
 def post_process_pose(kpts, scores, labels, spec: DecodeSpec, metas=None,
                       one_hm: bool = True):
     """Convert decoded device arrays into the reference's per-sample keypoint

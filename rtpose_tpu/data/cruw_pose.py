@@ -266,10 +266,32 @@ class CRUWPoseDataset:
         seq_abs = defaultdict(list)
         for key, val in detections.items():
             seq, frame, _ = key.split("/")
-            gt_points = np.asarray(gt[seq][frame][0]["pose"], np.float64)
+            objs = gt[seq][frame]
             kp = np.asarray([p[1:4] for p in val["keypoints"]], np.float64)
-            seq_mpjpe[seq].append(pjpe(kp, gt_points))
-            seq_abs[seq].append(abs_pjpe(kp, gt_points))
+            if len(objs) == 1 and kp.shape[0] <= self.NUM_JOINTS:
+                # single-person path: bit-identical to the reference
+                # (cruw_pose.py:288-295 reads objects[0] only)
+                gt_points = np.asarray(objs[0]["pose"], np.float64)
+                seq_mpjpe[seq].append(pjpe(kp, gt_points))
+                seq_abs[seq].append(abs_pjpe(kp, gt_points))
+                continue
+            # multi-person (TPU-new): predictions come in score-ordered
+            # groups of NUM_JOINTS (post_process_pose_multi); greedily match
+            # each GT object to the nearest unused predicted pelvis and
+            # score every matched pair
+            preds = kp[: (kp.shape[0] // self.NUM_JOINTS) * self.NUM_JOINTS]
+            preds = preds.reshape(-1, self.NUM_JOINTS, 3)
+            gts = [np.asarray(o["pose"], np.float64) for o in objs]
+            used = set()
+            for g in gts:
+                cands = [(np.linalg.norm(p[0] - g[0]), i)
+                         for i, p in enumerate(preds) if i not in used]
+                if not cands:
+                    break
+                _, i = min(cands)
+                used.add(i)
+                seq_mpjpe[seq].append(pjpe(preds[i], g))
+                seq_abs[seq].append(abs_pjpe(preds[i], g))
 
         seq_res = {}
         for seq, vals in seq_mpjpe.items():

@@ -134,7 +134,8 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                test_frames_per_seq: int = None,
                                with_lidar: bool = False,
                                radar_cubes: bool = True,
-                               persons_per_frame: int = 1) -> Dict[str, list]:
+                               persons_per_frame: int = 1,
+                               seq_offset: int = 0) -> Dict[str, list]:
     """Create the dataset under ``root``; returns {split: [sample keys]}.
 
     ``with_lidar=True`` additionally writes per-frame LiDAR point clouds
@@ -164,7 +165,10 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
     meta_lines = []
     splits = {"Train": {}, "Test": {}}
     keys = {"Train": [], "Test": []}
-    for s in range(num_seqs):
+    # seq_offset shifts seq ids/names so two generated roots can be
+    # concatenated without key collisions (ConcatDataset configs write
+    # per-seq eval JSONs keyed by seq name)
+    for s in range(seq_offset, seq_offset + num_seqs):
         seq_id = str(s)
         seq_name = f"2024_0101_{1000 + s}"
         meta_lines.append(f"{seq_id},{seq_name}")

@@ -58,9 +58,17 @@ def run_eval(eval_step: Callable, params, loader, decode_spec, *,
         metas = host_batch["meta"][:valid]
         # merge tasks: reference concatenates task keypoint lists per sample
         merged = None
-        for kpts, scores, labels in per_task:
-            outs = post_process_pose(kpts[:valid], scores[:valid], labels[:valid],
-                                     decode_spec, metas=metas, one_hm=one_hm)
+        for task_out in per_task:
+            if len(task_out) == 2:            # multi-person decode path
+                from ..core.decode import post_process_pose_multi
+                kpts, scores = task_out
+                outs = post_process_pose_multi(kpts[:valid], scores[:valid],
+                                               decode_spec, metas=metas)
+            else:
+                kpts, scores, labels = task_out
+                outs = post_process_pose(kpts[:valid], scores[:valid],
+                                         labels[:valid], decode_spec,
+                                         metas=metas, one_hm=one_hm)
             if merged is None:
                 merged = outs
             else:

@@ -226,13 +226,32 @@ def make_epoch_step(train_step: Callable, batch_size: int,
 def make_eval_step(model, head, decode_spec,
                    input_key: Optional[str] = "rdr_tensor",
                    sparse: bool = False,
-                   preprocess: Optional[tuple] = None) -> Callable:
+                   preprocess: Optional[tuple] = None,
+                   multi_poses: int = 0) -> Callable:
     """Forward + on-device decode; returns per-task (kpts, scores, labels).
 
     ``sparse=True`` (single-task one_hm configs): the reg tower runs only on
     the receptive-field patch around each heatmap peak — exact, ~1.4x faster
     inference (see RadarPoseNet.predict_sparse).
+
+    ``multi_poses=P`` (one_hm configs with ``max_poses > 1``): CenterNet
+    local-max + top-P decode (``core.decode.decode_pose_multi``); the step
+    returns ``[(kpts (B,P,K,3), scores (B,P))]`` — the TPU-new multi-person
+    path (the reference's decode/eval surface is single-person).
     """
+    if multi_poses and multi_poses > 1:
+        from ..core.decode import decode_pose_multi
+
+        def eval_step(params, batch):
+            preds = model.apply(
+                params, model_input_of(batch, input_key, preprocess))
+            kpts, scores = decode_pose_multi(
+                preds[0]["hm"], preds[0]["reg"], decode_spec,
+                max_objects=multi_poses)
+            return [(kpts, scores)]
+
+        return eval_step
+
     if sparse:
         from ..core.decode import decode_pose_sparse
 

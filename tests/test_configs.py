@@ -52,3 +52,14 @@ def test_config_assembles_and_runs(fname, mode, ncls, in_ch, reg_dim):
     preds = asm.model.apply(params, x)
     assert preds[0]["hm"].shape == (1, *tiny, ncls)
     assert preds[0]["reg"].shape == (1, *tiny, reg_dim)
+
+
+def test_mp2_config_assembles_multi():
+    """The multi-person experiment config surfaces max_poses=2 through
+    Assembly: dense train step (no sparse single-peak path) + top-2 decode."""
+    cfg = Config.fromfile(os.path.join(CONFIG_DIR,
+                                       "hr3d_one_hm_doppler_skel_mp2.py"))
+    asm = assemble(cfg)
+    assert asm.target_spec.max_poses == 2
+    assert asm.multi_poses == 2
+    assert not asm.sparse_head

@@ -50,6 +50,18 @@ class TestDataset:
         assert item["poses"].shape == (1, 15, 3)
         assert item["num_poses"] == 1
 
+    def test_seq_offset_rekeys_sequences(self, tmp_path):
+        """seq_offset shifts seq ids/names so two roots concatenate without
+        collisions (tools/gen_skel_data.py's 960-frame concat pair)."""
+        root = str(tmp_path / "off")
+        keys = generate_synthetic_dataset(root, num_seqs=2, frames_per_seq=1,
+                                          rdr_type="zyx_real", seq_offset=5)
+        meta = open(os.path.join(root, "file_meta.txt")).read().splitlines()
+        assert meta == ["5,2024_0101_1005", "6,2024_0101_1006"]
+        assert all(k.split("/")[0] in ("5", "6") for k in keys["Train"])
+        train = json.load(open(os.path.join(root, "Train.json")))
+        assert sorted(train) == ["5", "6"]
+
     def test_zyx_real_single_channel(self, tmp_path):
         root = str(tmp_path / "zyx")
         generate_synthetic_dataset(root, num_seqs=1, frames_per_seq=2,

@@ -160,3 +160,36 @@ class TestCLI:
                      "--total_epochs", "3")
         assert r.returncode == 0, r.stderr[-4000:]
         assert os.path.isdir(os.path.join(work_dir, "checkpoints", "epoch_3"))
+
+    @pytest.mark.slow
+    def test_multiperson_train_then_test(self, tmp_path_factory):
+        """max_poses=2 CLI surface: frame-grouped loading, dense multi-pose
+        train step, top-2 multi-peak decode, greedy-matching evaluation."""
+        from rtpose_tpu.data import generate_synthetic_dataset
+        root = str(tmp_path_factory.mktemp("mp2_data"))
+        generate_synthetic_dataset(
+            root, num_seqs=1, frames_per_seq=6, rdr_type="zyx_real", seed=5,
+            pelvis_range={"x": (1.0, 2.1), "y": (-1.0, 1.0), "z": (-0.4, 1.0)},
+            offset_scale=(0.06, 0.06, 0.08), z_clip=(-1.0, 1.7),
+            persons_per_frame=2)
+        cfg_path = str(tmp_path_factory.mktemp("mp2_cfg") / "tiny_mp2.py")
+        with open(cfg_path, "w") as f:
+            f.write(CONFIG_TEMPLATE.format(root=root, roi=TINY_ROI)
+                    .replace("max_poses=1", "max_poses=2"))
+        work_dir = str(tmp_path_factory.mktemp("mp2_work"))
+
+        r = run_tool("train.py", cfg_path, "--work_dir", work_dir,
+                     "--seed", "0")
+        assert r.returncode == 0, r.stderr[-4000:]
+
+        r2 = run_tool("test.py", cfg_path, "--checkpoint", work_dir,
+                      "--work_dir", work_dir, "--testset")
+        assert r2.returncode == 0, r2.stderr[-4000:]
+        assert "Evaluation MPJPE" in r2.stdout
+        found = [os.path.join(dp, f) for dp, _, fs in os.walk(work_dir)
+                 for f in fs if f == "test_prediction.json"]
+        assert found, "missing test_prediction.json"
+        preds = json.load(open(found[0]))
+        frame0 = next(iter(next(iter(preds.values())).values()))
+        # two decoded people -> 2*15 keypoints in score-ordered groups
+        assert len(frame0["keypoints"]) == 30

@@ -130,3 +130,55 @@ class TestTwoPersonTrainDecode:
         want = np.sort(np.asarray(batch["poses"][0])[:, 0, :2], axis=0)
         # voxel-resolution agreement on the two pelvis centers
         assert np.abs(got - want).max() < 0.5, (got, want)
+
+
+class TestMultiPersonEvalPath:
+    def test_evaluation_matches_objects_greedily(self, two_person_root):
+        """Perfect predictions fed in SWAPPED object order must still score
+        MPJPE 0 — the evaluation matches each GT object to the nearest
+        predicted pelvis instead of relying on order."""
+        import json
+
+        cfg = _tiny_cfg(two_person_root)
+        ds = CRUWPoseDataset(cfg, "Train.json", split="test",
+                             max_poses=2, group_by_frame=True)
+        gt = json.load(open(ds.label_file))
+        detections = {}
+        for seq, frames in gt.items():
+            for frame, objs in frames.items():
+                kp = []
+                for obj in reversed(objs):          # swapped order
+                    pose = np.asarray(obj["pose"])
+                    kp += [(j, *pose[j].tolist(), 0.9) for j in range(15)]
+                detections[f"{seq}/{frame}/{objs[0]['Radar_frameID']}"] = {
+                    "keypoints": kp}
+        res, _ = ds.evaluation(detections)
+        assert res["results"]["MPJPE"] == pytest.approx(0.0, abs=1e-6)
+        assert res["results"]["ABS_MPJPE"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_run_eval_multi_decode_structure(self, two_person_root):
+        """make_eval_step(multi_poses=2) -> run_eval -> evaluation: the full
+        eval path emits P*15 keypoints per frame and scores finitely."""
+        from rtpose_tpu.engine import make_eval_step, run_eval
+
+        cfg = _tiny_cfg(two_person_root)
+        ds = CRUWPoseDataset(cfg, "Train.json", split="test",
+                             max_poses=2, group_by_frame=True)
+        asm = graft._flagship(tiny=True)
+        _, dspec = _tiny_specs(2)
+        loader = BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+
+        lr_fn, mom_fn = make_one_cycle_fns(10, 1e-3)
+        opt = adam_one_cycle(lr_fn, mom_fn)
+        state = create_train_state(asm.model, opt,
+                                   jnp.zeros((1, 8, 16, 32, 1), jnp.float32))
+        eval_step = make_eval_step(asm.model, asm.head, dspec,
+                                   multi_poses=2)
+        dets, _ = run_eval(eval_step, state.params, loader, dspec)
+        assert len(dets) == len(ds)
+        for val in dets.values():
+            assert len(val["keypoints"]) == 2 * 15
+            ids = [p[0] for p in val["keypoints"]]
+            assert ids == list(range(15)) * 2      # score-ordered groups
+        res, _ = ds.evaluation(dets)
+        assert np.isfinite(res["results"]["MPJPE"])

@@ -80,7 +80,8 @@ def main():
     params = replicate(state.params, mesh)
     eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
                                input_key=asm.input_key, sparse=asm.sparse_head,
-                               preprocess=preprocess)
+                               preprocess=preprocess,
+                               multi_poses=asm.multi_poses)
     detections, sec_per_frame = run_eval(
         eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
         mesh=mesh, speed_test=args.speed_test, logger=logger)

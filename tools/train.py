@@ -156,7 +156,8 @@ def main():
 
         from rtpose_tpu.engine import make_eval_step, run_eval
         eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
-                                   input_key=asm.input_key)
+                                   input_key=asm.input_key,
+                                   multi_poses=asm.multi_poses)
 
         def eval_fn(state, loader, epoch):
             dets, _ = run_eval(eval_step, state.params, loader, asm.decode_spec,
