@@ -39,9 +39,12 @@ class Assembly:
     def sparse_head(self) -> bool:
         """Sparse reg-tower paths exist only for the dense radar detector,
         and are single-peak — multi-person configs use the dense step and
-        the multi-peak decode instead."""
+        the multi-peak decode instead.  The DCN head has no branch-routed
+        sparse form (its deformable sampling needs the full feature map),
+        so dcn configs run dense too."""
         return (self.one_hm and self.sensor == "radar"
-                and self.target_spec.max_poses == 1)
+                and self.target_spec.max_poses == 1
+                and not self.model_cfg["pose_head"].get("dcn_head"))
 
     @property
     def multi_poses(self) -> int:

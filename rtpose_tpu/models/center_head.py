@@ -132,9 +132,12 @@ class CenterHead(nn.Module):
             heads = dict(self.common_heads or {})
             if self.dcn_head:
                 from .dcn_head import DCNSepHead
+                # deformable sampling needs the true (Y, X) grid — unfold
+                # the X-folded backbone layout back to dense spatial
+                xd = unfold_x(x) if folded else x
                 ret.append(DCNSepHead(num_cls=num_cls, heads=heads,
                                       head_conv=32, init_bias=self.init_bias,
-                                      name=f"task{ti}")(x))
+                                      name=f"task{ti}")(xd))
             else:
                 heads["hm"] = (num_cls, self.num_hm_conv)
                 ret.append(SepHead(heads=heads, head_conv=32, final_kernel=3,

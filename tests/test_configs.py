@@ -63,3 +63,29 @@ def test_mp2_config_assembles_multi():
     assert asm.target_spec.max_poses == 2
     assert asm.multi_poses == 2
     assert not asm.sparse_head
+
+
+def test_dcn_config_assembles_and_runs():
+    """dcn_head=True config: assembles, disables the sparse single-peak
+    path, and the DCNSepHead forward emits reference-shaped hm/reg.
+
+    X=32 so the backbone takes the folded-X layout — the head must unfold
+    before deformable sampling (regression: folded features fed straight
+    into DCNSepHead shrank the heatmap X by FOLD)."""
+    cfg = Config.fromfile(os.path.join(CONFIG_DIR,
+                                       "hr3d_one_hm_doppler_dcn.py"))
+    asm = assemble(cfg)
+    assert asm.model_cfg["pose_head"]["dcn_head"] is True
+    assert not asm.sparse_head
+
+    tiny = (4, 8, 32)
+    asm = dataclasses.replace(
+        asm, input_shape_zyxc=(*tiny, 32),
+        target_spec=dataclasses.replace(asm.target_spec, grid_zyx=tiny),
+        decode_spec=dataclasses.replace(asm.decode_spec, grid_zyx=tiny))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, *tiny, 32)).astype(np.float32))
+    params = asm.model.init(jax.random.PRNGKey(0), x)
+    preds = asm.model.apply(params, x)
+    assert preds[0]["hm"].shape == (1, *tiny, 1)
+    assert preds[0]["reg"].shape == (1, *tiny, 45)
