@@ -243,25 +243,27 @@ def group_norm_folded(xf: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     cnt = n_spatial * FOLD * gsize
     shape = (B,) + (1,) * (xf.ndim - 2) + (Cf,)
 
-    # folded channel idx = fi * C + c with group(c) = c // gsize, so the
-    # per-group reduce/broadcast is a pure reshape — (B, FOLD, ng, gsize) —
-    # NOT a scatter/gather (TPU scatters serialize; reshapes are free)
-    def group_sum(s):                                         # (B, 4C) -> (B, ng)
-        return s.reshape(B, FOLD, ng, gsize).sum(axis=(1, 3))
-
-    def per_channel(g):                                       # (B, ng) -> (B, 4C)
-        return jnp.broadcast_to(g[:, None, :, None],
-                                (B, FOLD, ng, gsize)).reshape(B, Cf)
+    # group id of folded channel idx: (idx % C) // gsize.  A reshape-based
+    # grouped reduce ((B, FOLD, ng, gsize).sum) is mathematically identical
+    # and avoids the scatter, but empirically broke training on the real
+    # chip (480-frame skeleton run: loc loss plateaus at ~47 instead of
+    # annealing to ~2; bisected to this exact change, single-step outputs
+    # agree to ~1e-4) — keep the round-2 scatter form, which reproduces the
+    # good trajectory bit-for-bit.
+    c_of = jnp.arange(Cf) % C
+    gid = (c_of // gsize).astype(jnp.int32) if num_groups > 1 else jnp.zeros((Cf,), jnp.int32)
 
     # two-pass centered variance (E[x^2]-E[x]^2 cancels catastrophically)
     s1 = jnp.sum(x32, axis=red)                               # (B, 4C)
-    mean = group_sum(s1) / cnt
-    mean_c = per_channel(mean)                                # (B, 4C)
+    gs1 = jnp.zeros((B, ng), dt).at[:, gid].add(s1)
+    mean = gs1 / cnt
+    mean_c = mean[:, gid]                                     # (B, 4C)
     centered = x32 - mean_c.reshape(shape)
     s2 = jnp.sum(jnp.square(centered), axis=red)
-    var = group_sum(s2) / cnt
+    gs2 = jnp.zeros((B, ng), dt).at[:, gid].add(s2)
+    var = gs2 / cnt
 
-    inv = per_channel(jax.lax.rsqrt(var + eps))
+    inv = jax.lax.rsqrt(var + eps)[:, gid]
     scale_f = jnp.tile(scale.astype(dt), FOLD)
     bias_f = jnp.tile(bias.astype(dt), FOLD)
     out = centered * (inv.reshape(shape) * scale_f) + bias_f
