@@ -170,6 +170,43 @@ class TestLoader:
                 assert d["valid"] == h["valid"]
                 assert d["meta"] == h["meta"]
 
+    def test_device_cached_bf16_many_rows(self):
+        """Compressed (bfloat16) cache round-trip at a few hundred rows:
+        every gathered batch row must equal the host item cast through
+        bfloat16 EXACTLY (catches row-index or offset bugs in the big
+        flattened-(N, K) gather that small-N tests would miss)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rtpose_tpu.data import DeviceCachedLoader
+
+        class FakeDS:
+            def __len__(self):
+                return 300
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(1000 + i)
+                return {"meta": {},
+                        "rdr_tensor": r.normal(size=(4, 6, 8, 4)).astype(np.float32),
+                        "poses": r.normal(size=(1, 15, 3)).astype(np.float32),
+                        "num_poses": np.int32(1), "mode": "train"}
+
+        ds = FakeDS()
+        loader = DeviceCachedLoader(ds, batch_size=8, shuffle=True, seed=0,
+                                    cache_dtype="bfloat16")
+        assert loader._orig_dtype["rdr_tensor"] == np.float32
+        for k, batch in enumerate(loader):
+            idx = loader._indices()[k * 8:(k + 1) * 8]
+            for j, i in enumerate(idx):
+                it = ds[int(i)]
+                want = np.asarray(
+                    jnp.asarray(it["rdr_tensor"]).astype(jnp.bfloat16)
+                    .astype(np.float32))
+                np.testing.assert_array_equal(
+                    np.asarray(batch["rdr_tensor"][j], np.float32), want)
+            if k >= 3:
+                break
+
     def test_device_cached_size_cap(self, synth_root):
         from rtpose_tpu.data import DeviceCachedLoader
 
