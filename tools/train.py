@@ -25,6 +25,14 @@ def parse_args():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--total_epochs", type=int, default=None,
                    help="override cfg.total_epochs")
+    p.add_argument("--lr_max", type=float, default=None,
+                   help="override cfg.lr_config.lr_max (one-cycle peak)")
+    p.add_argument("--pct_start", type=float, default=None,
+                   help="override cfg.lr_config.pct_start (one-cycle warmup "
+                        "fraction)")
+    p.add_argument("--div_factor", type=float, default=None,
+                   help="override cfg.lr_config.div_factor (start lr = "
+                        "lr_max / div_factor)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
@@ -114,6 +122,10 @@ def main():
     total_steps = steps_per_epoch * total_epochs
 
     lr_cfg = dict(cfg.lr_config)
+    for k in ("lr_max", "pct_start", "div_factor"):
+        if getattr(args, k) is not None:
+            lr_cfg[k] = getattr(args, k)
+            cfg.lr_config[k] = getattr(args, k)   # build_optimizer reads cfg
     lr_fn, mom_fn = make_one_cycle_fns(
         total_steps, float(lr_cfg["lr_max"]),
         tuple(lr_cfg.get("moms", (0.95, 0.85))),
