@@ -91,7 +91,8 @@ def make_train_step(model, head, spec: PoseTargetSpec,
                     input_key: str = "rdr_tensor",
                     sparse_reg: bool = False,
                     remat: bool = False,
-                    preprocess: Optional[tuple] = None) -> Callable:
+                    preprocess: Optional[tuple] = None,
+                    loc_weight_fn: Optional[Callable] = None) -> Callable:
     """Build the fused train step.
 
     ``head`` is the (unbound) CenterHead module — its ``loss`` uses only
@@ -108,6 +109,14 @@ def make_train_step(model, head, spec: PoseTargetSpec,
     gathers exactly those voxels, so loss and gradients are identical to
     the dense step while skipping ~40% of its conv work (forward AND
     backward).
+
+    ``loc_weight_fn``: optional ``step -> weight`` overriding the static
+    ``head.weight`` balance between the heatmap and regression losses
+    (total = hm_loss + w(step) * loc_loss).  A training-dynamics lever for
+    the multi-task stall documented in BASELINE.md (the shared backbone can
+    lock into the heatmap task before the regression escapes the
+    predict-the-mean basin); only meaningful for pose heads whose loss is
+    the hm+loc composition.
     """
 
     def sparse_losses(params, batch, example):
@@ -144,7 +153,12 @@ def make_train_step(model, head, spec: PoseTargetSpec,
 
         def loss_fn(params):
             losses = compute_losses(params, batch, example)
-            total = jnp.sum(jnp.stack(losses["loss"]))
+            if loc_weight_fn is None:
+                total = jnp.sum(jnp.stack(losses["loss"]))
+            else:
+                total = (jnp.sum(jnp.stack(losses["hm_loss"]))
+                         + loc_weight_fn(state.step)
+                         * jnp.sum(jnp.stack(losses["loc_loss"])))
             return total, losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -171,6 +185,8 @@ def make_train_step(model, head, spec: PoseTargetSpec,
         metrics["loc_loss_elem"] = losses["loc_loss_elem"][0]
         if lr_fn is not None:
             metrics["lr"] = lr_fn(state.step)
+        if loc_weight_fn is not None:
+            metrics["loc_weight"] = loc_weight_fn(state.step)
 
         return TrainState(params=new_params, opt_state=new_opt_state,
                           step=state.step + 1), metrics

@@ -4,3 +4,4 @@ from .optim import (
     adam_one_cycle,
     build_optimizer_from_cfg,
 )
+from .schedules import piecewise_weight

@@ -101,3 +101,21 @@ def manual_stepping(total_steps: int, boundaries: Sequence[float],
         return rs[idx]
 
     return fn
+
+
+def piecewise_weight(base: float, early: Optional[float] = None,
+                     early_steps: int = 0) -> Callable:
+    """``step -> weight`` for a loss-balance term: ``early`` for the first
+    ``early_steps`` optimizer steps, ``base`` afterwards (constant ``base``
+    when ``early`` is None).  Used as ``make_train_step(loc_weight_fn=...)``
+    to lift the regression loss out of the predict-the-mean basin before the
+    shared backbone commits to the heatmap task (BASELINE.md, round-3
+    960-frame stall study)."""
+    if early is None:
+        return lambda step: jnp.asarray(base, jnp.float32)
+
+    def fn(step):
+        return jnp.where(jnp.asarray(step) < early_steps,
+                         jnp.float32(early), jnp.float32(base))
+
+    return fn

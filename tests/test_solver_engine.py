@@ -183,3 +183,63 @@ class TestRemat:
             total += d.size
             mismatched += int((d > 1e-5).sum())
         assert mismatched / total < 1e-3
+
+
+class TestLocWeightSchedule:
+    def test_piecewise_override(self):
+        """loc_weight_fn overrides head.weight in the total; the boundary
+        between early and base weight is the optimizer step count."""
+        from rtpose_tpu.solver import piecewise_weight
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(1)
+        B = 2
+        batch = {
+            "rdr_tensor": jnp.asarray(rng.normal(size=(B, Z, Y, X, 1)).astype(np.float32)),
+            "poses": jnp.asarray(
+                (rng.uniform(0.2, 0.8, size=(B, 1, 15, 3))
+                 * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                 + np.array([0.0, -4.0, -1.0])).astype(np.float32)),
+            "num_poses": jnp.ones((B,), jnp.int32),
+        }
+        opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
+                             grad_clip_norm=None)  # lr 0: params frozen
+        state = create_train_state(model, opt, batch["rdr_tensor"])
+        wfn = piecewise_weight(0.5, early=5.0, early_steps=3)
+        step = jax.jit(make_train_step(model, head, spec, opt,
+                                       loc_weight_fn=wfn))
+
+        # step 0-2: early weight 5.0; step 3+: base 0.5
+        seen = []
+        for _ in range(5):
+            state, m = step(state, batch)
+            seen.append((float(m["loc_weight"]),
+                         float(m["loss"]), float(m["hm_loss"]),
+                         float(m["loc_loss"])))
+        for i, (w, total, hm, loc) in enumerate(seen):
+            assert w == (5.0 if i < 3 else 0.5), (i, w)
+            assert total == pytest.approx(hm + w * loc, rel=1e-5), i
+
+    def test_constant_matches_default(self):
+        """A constant loc_weight_fn equal to head.weight reproduces the
+        default step's loss exactly."""
+        from rtpose_tpu.solver import piecewise_weight
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(2)
+        batch = {
+            "rdr_tensor": jnp.asarray(rng.normal(size=(1, Z, Y, X, 1)).astype(np.float32)),
+            "poses": jnp.asarray(
+                (rng.uniform(0.2, 0.8, size=(1, 1, 15, 3))
+                 * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                 + np.array([0.0, -4.0, -1.0])).astype(np.float32)),
+            "num_poses": jnp.ones((1,), jnp.int32),
+        }
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        state = create_train_state(model, opt, batch["rdr_tensor"])
+        _, m0 = jax.jit(make_train_step(model, head, spec, opt))(state, batch)
+        _, m1 = jax.jit(make_train_step(
+            model, head, spec, opt,
+            loc_weight_fn=piecewise_weight(float(head.weight))))(state, batch)
+        assert float(m0["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)

@@ -33,6 +33,13 @@ def parse_args():
     p.add_argument("--div_factor", type=float, default=None,
                    help="override cfg.lr_config.div_factor (start lr = "
                         "lr_max / div_factor)")
+    p.add_argument("--loc_weight", type=float, default=None,
+                   help="override the head's hm-vs-loc loss balance weight")
+    p.add_argument("--loc_weight_early", type=float, default=None,
+                   help="use THIS loc weight for the first "
+                        "--loc_weight_early_steps optimizer steps (multi-task "
+                        "stall lever, see BASELINE.md)")
+    p.add_argument("--loc_weight_early_steps", type=int, default=0)
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
@@ -139,11 +146,22 @@ def main():
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"Model parameter count: {n_params}")
 
+    loc_weight_fn = None
+    if args.loc_weight is not None or args.loc_weight_early is not None:
+        from rtpose_tpu.solver import piecewise_weight
+        base_w = (args.loc_weight if args.loc_weight is not None
+                  else float(asm.head.weight))
+        loc_weight_fn = piecewise_weight(base_w, args.loc_weight_early,
+                                         args.loc_weight_early_steps)
+        logger.info(f"loc-weight schedule: base={base_w} "
+                    f"early={args.loc_weight_early}"
+                    f"@{args.loc_weight_early_steps} steps")
     train_step = make_train_step(asm.model, asm.head, asm.target_spec,
                                  optimizer, lr_fn=lr_fn,
                                  input_key=asm.input_key,
                                  sparse_reg=asm.sparse_head, remat=args.remat,
-                                 preprocess=preprocess)
+                                 preprocess=preprocess,
+                                 loc_weight_fn=loc_weight_fn)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
         lr_fn=lr_fn, mesh=make_mesh(),
