@@ -128,7 +128,41 @@ def conv_tapconcat(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+def grad_chain_conv(conv_fn):
+    """Builder: K chained conv applications differentiated wrt (x, w).
+
+    The VJP of each chained conv runs its grad-input (transposed-tap) and
+    grad-weight convs, so the slope over K prices one full fwd+bwd of the
+    formulation; backward-alone = this slope minus the forward slope.  The
+    1e-30-scaled grad sum keeps the backward live against DCE without
+    perturbing the loss.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def build(K):
+        def chain(x, w):
+            def body(c, _):
+                out = conv_fn(c, w)
+                fb = (out.astype(jnp.float32).sum() * 1e-24).astype(c.dtype)
+                return c + fb, None
+            xK, _ = lax.scan(body, x, None, length=K)
+            return xK.astype(jnp.float32).sum()
+
+        @jax.jit
+        def run(x, w):
+            loss, grads = jax.value_and_grad(chain, argnums=(0, 1))(x, w)
+            keep = sum(g.astype(jnp.float32).sum()
+                       for g in jax.tree.leaves(grads))
+            return loss + keep * 1e-30
+        return run
+    return build
+
+
 def main():
+    from rtpose_tpu.utils import apply_platform_env
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
 
@@ -139,10 +173,16 @@ def main():
 
     print(f"# backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     B, Z, Y, X = 8, 16, 64, 160
+    if os.environ.get("PERFLAB_SHAPE"):          # tiny-shape CPU smoke mode
+        B, Z, Y, X = map(int, os.environ["PERFLAB_SHAPE"].split(","))
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
 
-    cases = sys.argv[1:] or ["naive", "f4", "f2", "tap"]
+    argv = sys.argv[1:]
+    bwd = "--bwd" in argv
+    argv = [a for a in argv if a != "--bwd"]
+    cases = argv or (["naive", "f4", "gather", "tap"] if bwd
+                     else ["naive", "f4", "f2", "tap"])
     shapes = [(32, 32), (32, 128), (64, 64), (96, 128)]
 
     for C, Co in shapes:
@@ -153,25 +193,42 @@ def main():
         for case in cases:
             try:
                 if case == "naive":
-                    per = timer(chain_conv(conv_naive, x, w, None), x, w)
-                    issue = 1.0
+                    conv_fn, arg0, issue = conv_naive, x, 1.0
                 elif case in ("f2", "f4"):
                     F = int(case[1])
                     if X % F or C * F > 512:
                         continue
-                    xf = x.reshape(B, Z, Y, X // F, F * C)
-                    per = timer(chain_conv(conv_folded_F(F), xf, w, None), xf, w)
+                    arg0 = x.reshape(B, Z, Y, X // F, F * C)
+                    conv_fn = conv_folded_F(F)
                     _, s_min, s_max = fold_entries(3, 1, F)
                     issue = (s_max - s_min + 1) * F / 3.0
+                elif case == "gather":
+                    from rtpose_tpu.ops.fold_conv import FOLD, conv3d_folded_gather
+                    if X % FOLD or C * FOLD > 512:
+                        continue
+                    arg0 = x.reshape(B, Z, Y, X // FOLD, FOLD * C)
+                    conv_fn = conv3d_folded_gather
+                    issue = (FOLD + 3 - 1) / 3.0
                 elif case == "tap":
-                    per = timer(chain_conv(conv_tapconcat, x, w, None), x, w)
-                    issue = 1.0
+                    conv_fn, arg0, issue = conv_tapconcat, x, 1.0
                 else:
                     continue
-                eff = alg_tflop / per
-                print(f"C{C:>3}->C{Co:>3} {case:>6}: {per*1e3:7.3f} ms  "
-                      f"alg {eff:6.1f} TFLOP/s  issued {eff*issue:6.1f} "
-                      f"(x{issue:.2f})")
+                per = timer(chain_conv(conv_fn, arg0, w, None), arg0, w)
+                if bwd:
+                    per_vjp = timer(grad_chain_conv(conv_fn), arg0, w)
+                    per_b = per_vjp - per
+                    # backward = grad-input + grad-weight ~= 2x the forward's
+                    # algorithmic FLOPs
+                    eff_b = 2 * alg_tflop / max(per_b, 1e-12)
+                    print(f"C{C:>3}->C{Co:>3} {case:>6}: fwd {per*1e3:7.3f} ms"
+                          f"  fwd+bwd {per_vjp*1e3:7.3f} ms  bwd "
+                          f"{per_b*1e3:7.3f} ms  bwd-alg {eff_b:6.1f} TFLOP/s"
+                          f"  (fwd x{issue:.2f})")
+                else:
+                    eff = alg_tflop / per
+                    print(f"C{C:>3}->C{Co:>3} {case:>6}: {per*1e3:7.3f} ms  "
+                          f"alg {eff:6.1f} TFLOP/s  issued {eff*issue:6.1f} "
+                          f"(x{issue:.2f})")
             except Exception as e:
                 print(f"C{C}->C{Co} {case}: FAILED {type(e).__name__}: {str(e)[:90]}")
 
