@@ -146,6 +146,14 @@ class TestCLI:
         assert "ALL" in res
         assert np.isfinite(res["ALL"]["MPJPE"])
 
+        # serving export from the same checkpoint (tools/export.py)
+        artifact = os.path.join(work_dir, "model.jaxexp")
+        r3 = run_tool("export.py", cfg_path, "--checkpoint", work_dir,
+                      "--out", artifact, "--platforms", "cpu")
+        assert r3.returncode == 0, r3.stderr[-4000:]
+        assert os.path.getsize(artifact) > 0
+        assert "exported" in r3.stdout
+
     @pytest.mark.slow
     def test_resume(self, e2e_env):
         root, cfg_path, work_dir = e2e_env

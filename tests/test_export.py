@@ -1,0 +1,83 @@
+"""Round-trip tests for the jax.export serving path (rtpose_tpu/export.py).
+
+TPU-new capability: the predict path (forward + decode) serializes to a
+self-contained StableHLO artifact with parameters baked in; serving needs
+only jax + the artifact.  (The reference's serving story is re-running
+tools/test.py against a .pth checkpoint — reference tools/test.py:1-210.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.api import assemble
+from rtpose_tpu.config import Config
+from rtpose_tpu.engine import create_train_state
+from rtpose_tpu.export import (export_predict, load_predict, make_predict_fn,
+                               save_exported)
+from rtpose_tpu.solver import adam_one_cycle
+
+from test_e2e_cli import CONFIG_TEMPLATE, TINY_ROI
+
+
+@pytest.fixture(scope="module")
+def tiny_asm(tmp_path_factory):
+    # assemble() is data-free: the dataset root is never touched
+    cfg_path = tmp_path_factory.mktemp("exp_cfg") / "tiny.py"
+    cfg_path.write_text(CONFIG_TEMPLATE.format(root="/nonexistent",
+                                               roi=TINY_ROI))
+    asm = assemble(Config.fromfile(str(cfg_path)))
+    opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                         grad_clip_norm=None)
+    state = create_train_state(asm.model, opt, asm.example_input(),
+                               jax.random.PRNGKey(3))
+    return asm, state
+
+
+class TestExport:
+    def test_roundtrip_matches_live(self, tiny_asm, tmp_path):
+        """serialize -> file -> deserialize reproduces the live eval step."""
+        asm, state = tiny_asm
+        B = 2
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(B, *asm.input_shape_zyxc))
+                        .astype(np.float32))
+        live = make_predict_fn(asm, state.params)(x)
+
+        blob = export_predict(asm, state.params, batch_size=B,
+                              platforms=("cpu",))
+        path = str(tmp_path / "model.jaxexp")
+        save_exported(path, blob)
+        predict = load_predict(path)
+        out = predict(x)
+
+        live_l, out_l = jax.tree.leaves(live), jax.tree.leaves(out)
+        assert len(live_l) == len(out_l) and len(out_l) > 0
+        for a, b in zip(live_l, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        assert predict.platforms == ("cpu",)
+
+    def test_multi_platform_artifact(self, tiny_asm):
+        """One artifact lowered for cpu AND tpu (no TPU needed to produce
+        it); executes on whatever backend is attached."""
+        asm, state = tiny_asm
+        blob = export_predict(asm, state.params, batch_size=1,
+                              platforms=("cpu", "tpu"))
+        predict = load_predict(blob)
+        assert set(predict.platforms) == {"cpu", "tpu"}
+        x = jnp.zeros((1, *asm.input_shape_zyxc), jnp.float32)
+        out = predict(x)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(out))
+
+    def test_static_batch_enforced(self, tiny_asm):
+        asm, state = tiny_asm
+        blob = export_predict(asm, state.params, batch_size=1,
+                              platforms=("cpu",))
+        predict = load_predict(blob)
+        bad = jnp.zeros((2, *asm.input_shape_zyxc), jnp.float32)
+        with pytest.raises(Exception):
+            predict(bad)

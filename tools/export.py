@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint as a self-contained serving artifact.
+
+The predict path (forward + decode) lowers to StableHLO with the trained
+parameters baked in; the artifact runs on any listed platform with only
+``jax`` installed (see rtpose_tpu/export.py).  TPU-new capability — the
+reference serves by re-running tools/test.py against a .pth checkpoint.
+
+    python tools/export.py cfg.py --checkpoint work_dir --out model.jaxexp
+    # serving side:
+    #   from rtpose_tpu.export import load_predict   (or inline the 6-line
+    #   jax.export.deserialize wrapper — the artifact has no rtpose dep)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Export a serving artifact")
+    p.add_argument("config", help="config file path")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint dir (or work_dir with a 'latest' pointer)")
+    p.add_argument("--out", required=True, help="output artifact path")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="static serving batch size")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from rtpose_tpu.utils import apply_platform_env
+    apply_platform_env()
+
+    import jax
+
+    from rtpose_tpu.api import assemble
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.engine import create_train_state, load_checkpoint
+    from rtpose_tpu.export import export_predict, save_exported
+    from rtpose_tpu.solver import adam_one_cycle
+
+    cfg = Config.fromfile(args.config)
+    asm = assemble(cfg)
+
+    dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
+                               grad_clip_norm=None)
+    template = create_train_state(asm.model, dummy_opt, asm.example_input())
+    state, _ = load_checkpoint(args.checkpoint, template)
+
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    blob = export_predict(asm, state.params, batch_size=args.batch_size,
+                          platforms=platforms)
+    save_exported(args.out, blob)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    print(f"exported {args.out}: {len(blob) / 1e6:.2f} MB, "
+          f"batch={args.batch_size}, platforms={','.join(platforms)}, "
+          f"params={n_params}")
+
+
+if __name__ == "__main__":
+    main()
