@@ -197,6 +197,19 @@ class DeviceCachedLoader:
         self._shapes = {k: a.shape[1:] for k, a in arrays.items()}
         arrays = {k: a.reshape(a.shape[0], -1) if a.ndim > 1 else a
                   for k, a in arrays.items()}
+        # sharded cache (P('data') on the sample axis): each device holds
+        # 1/N of the dataset, so cacheable size scales with the mesh instead
+        # of being capped by one chip's HBM; per-batch gathers become GSPMD
+        # collectives over ICI.  device_put needs the leading dim divisible
+        # by the shard count — pad with repeats of the last row (never
+        # indexed: batch indices stay < n)
+        self.sharding = sharding
+        if sharding is not None and not sharding.is_fully_replicated:
+            ways = sharding.num_devices
+            pad = (-len(items)) % ways
+            if pad:
+                arrays = {k: np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                          for k, a in arrays.items()}
         total = sum(a.nbytes for a in arrays.values())
         if max_bytes is not None and total > max_bytes:
             raise ValueError(

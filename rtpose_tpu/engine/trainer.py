@@ -223,8 +223,11 @@ class Trainer:
             fn = make_epoch_step(self._raw_train_step, bs, loader._shapes,
                                  loader._orig_dtype, mesh=self.mesh)
             self._epoch_jit = jax.jit(fn, donate_argnums=0)
-            if self.mesh.devices.size > 1:
-                # fused-epoch SPMD gathers read the cache replicated
+            if (self.mesh.devices.size > 1
+                    and getattr(loader, "sharding", None) is None):
+                # fused-epoch SPMD gathers read the cache replicated unless
+                # the loader was built with an explicit sharding (e.g. the
+                # P('data')-sharded cache for sets larger than one chip's HBM)
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 loader.data = jax.device_put(
                     loader.data, NamedSharding(self.mesh, P()))

@@ -183,3 +183,81 @@ class TestFusedEpochMultiDevice:
             # adam knife-edge bound: up to ~lr per step on ~zero-grad
             # elements (see test_dp_matches_single_device), 2 steps here
             assert d.max() <= 2.05e-3 * len(l1), d.max()
+
+
+class TestShardedCache:
+    def test_fused_epoch_sharded_cache_matches_replicated(self):
+        """P('data')-sharded cache (each device holds 1/8 of the dataset)
+        must produce the same fused-epoch trajectory as the replicated
+        cache: the batch gathers become GSPMD collectives but the math is
+        unchanged.  This is the HBM-scaling mode (--cache_shard)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rtpose_tpu.engine.steps import make_epoch_step
+
+        asm = graft._flagship(tiny=True, dtype_override="float32")
+        z, y, x, c = asm.input_shape_zyxc
+        N, B = 16, 8
+        rng = np.random.default_rng(7)
+        pelvis = np.asarray(asm.target_spec.pc_range_min_xyz, np.float32) + 0.6
+        shapes = {"rdr_tensor": (z, y, x, c), "poses": (1, 15, 3),
+                  "num_poses": ()}
+        host = {
+            "rdr_tensor": rng.normal(size=(N, z * y * x * c)).astype(np.float32),
+            "poses": np.tile(pelvis, (N, 15)).astype(np.float32).reshape(N, -1),
+            "num_poses": np.ones((N,), np.int32),
+        }
+        idx = np.arange(N, dtype=np.int32)
+
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        step = make_train_step(asm.model, asm.head, asm.target_spec, opt)
+        state0 = create_train_state(asm.model, opt,
+                                    jnp.zeros((1, z, y, x, c), jnp.float32))
+
+        mesh = make_mesh(8)
+        repl = NamedSharding(mesh, P())
+        shrd = NamedSharding(mesh, P("data"))
+        ep = jax.jit(make_epoch_step(step, B, shapes, {}, mesh=mesh))
+
+        s_r, ms_r = ep(replicate(state0, mesh),
+                       jax.device_put(host, repl), jax.device_put(idx, repl))
+        s_s, ms_s = ep(replicate(state0, mesh),
+                       jax.device_put(host, shrd), jax.device_put(idx, repl))
+
+        np.testing.assert_allclose(np.asarray(ms_s["loss"]),
+                                   np.asarray(ms_r["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_r.params), jax.tree.leaves(s_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_loader_sharded_cache_iter_matches(self):
+        """DeviceCachedLoader built with a P('data') sharding (uneven N ->
+        padded rows) yields the same batches as the default placement."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rtpose_tpu.data import DeviceCachedLoader
+
+        class DS:
+            def __len__(self):
+                return 11   # not divisible by 8: exercises the pad path
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(100 + i)
+                return {"rdr_tensor": r.normal(size=(4, 8, 2)).astype(np.float32),
+                        "poses": r.normal(size=(1, 15, 3)).astype(np.float32),
+                        "num_poses": np.int32(1), "meta": {"i": i}}
+
+        mesh = make_mesh(8)
+        ld_plain = DeviceCachedLoader(DS(), batch_size=4, shuffle=True, seed=3)
+        ld_shard = DeviceCachedLoader(DS(), batch_size=4, shuffle=True, seed=3,
+                                      sharding=NamedSharding(mesh, P("data")))
+        assert ld_shard.sharding is not None
+        ld_plain.set_epoch(1)
+        ld_shard.set_epoch(1)
+        for bp, bs in zip(ld_plain, ld_shard):
+            assert bp["valid"] == bs["valid"]
+            np.testing.assert_array_equal(np.asarray(bp["rdr_tensor"]),
+                                          np.asarray(bs["rdr_tensor"]))
+            np.testing.assert_array_equal(np.asarray(bp["poses"]),
+                                          np.asarray(bs["poses"]))

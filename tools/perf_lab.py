@@ -109,6 +109,21 @@ def conv_naive(x, w):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+def conv_int8(x, w):
+    """int8 x int8 -> int32 conv: probes whether XLA:TPU lowers to the MXU's
+    2x-rate int8 path (v5e: 394 int8 TOPS vs 197 bf16 TFLOP/s).  Inputs are
+    expected already-quantized int8; output stays int32 (dequant fuses into
+    the consumer in a real quantized pipeline)."""
+    import jax.numpy as jnp
+    from jax import lax
+    kz, ky, kx = w.shape[:3]
+    pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (kx // 2, kx // 2)]
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.int32)
+
+
 def conv_tapconcat(x, w):
     """1x-issue formulation: gather the kx taps into channels, then a
     (kz, ky, 1) conv with kx*C input channels."""
@@ -192,6 +207,7 @@ def main():
         float(x.astype(jnp.float32).sum())
         for case in cases:
             try:
+                warg = w
                 if case == "naive":
                     conv_fn, arg0, issue = conv_naive, x, 1.0
                 elif case in ("f2", "f4"):
@@ -211,11 +227,33 @@ def main():
                     issue = (FOLD + 3 - 1) / 3.0
                 elif case == "tap":
                     conv_fn, arg0, issue = conv_tapconcat, x, 1.0
+                elif case in ("i8", "f4i8"):
+                    # values are timing-only; a real pipeline would carry scales
+                    xi = jnp.clip(x.astype(jnp.float32) * 8, -127, 127).astype(jnp.int8)
+                    warg = jnp.clip(w.astype(jnp.float32) * 8, -127, 127).astype(jnp.int8)
+                    if case == "i8":
+                        conv_fn, arg0, issue = conv_int8, xi, 1.0
+                    else:
+                        F = 4
+                        if X % F or C * F > 512:
+                            continue
+                        arg0 = xi.reshape(B, Z, Y, X // F, F * C)
+                        issue = 4.0
+
+                        def conv_fn(xf, wq8, _F=F):
+                            entries, s_min, s_max = fold_entries(3, 1, _F)
+                            wf = fold_weights(wq8, 1, _F)
+                            pad = [(1, 1), (1, 1), (-s_min, s_max)]
+                            from jax import lax
+                            return lax.conv_general_dilated(
+                                xf, wf, (1, 1, 1), pad,
+                                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                                preferred_element_type=jnp.int32)
                 else:
                     continue
-                per = timer(chain_conv(conv_fn, arg0, w, None), arg0, w)
+                per = timer(chain_conv(conv_fn, arg0, warg, None), arg0, warg)
                 if bwd:
-                    per_vjp = timer(grad_chain_conv(conv_fn), arg0, w)
+                    per_vjp = timer(grad_chain_conv(conv_fn), arg0, warg)
                     per_b = per_vjp - per
                     # backward = grad-input + grad-weight ~= 2x the forward's
                     # algorithmic FLOPs

@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--cache_dtype", default=None,
                    help="store the device cache compressed (e.g. bfloat16); "
                         "batches are cast back to f32 after the gather")
+    p.add_argument("--cache_shard", action="store_true",
+                   help="shard the device cache P('data') across the mesh "
+                        "(cacheable set scales with devices instead of one "
+                        "chip's HBM; batch gathers ride ICI collectives)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the forward: backward recomputes "
                         "activations instead of keeping them in HBM "
@@ -111,14 +115,22 @@ def main():
     preprocess = ((dataset.norm_start, dataset.norm_scale)
                   if getattr(dataset, "device_preprocess", False) else None)
     per_host_bs = int(cfg.data["samples_per_gpu"]) * jax.local_device_count()
+    mesh = make_mesh()
     if args.device_cache or cfg.data.get("device_cache", False):
         from rtpose_tpu.data import DeviceCachedLoader
+        cache_sharding = None
+        cache_cap = 12_000_000_000
+        if args.cache_shard:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cache_sharding = NamedSharding(mesh, P("data"))
+            cache_cap *= mesh.devices.size
         loader = DeviceCachedLoader(dataset, batch_size=per_host_bs,
                                     shuffle=True, num_shards=process_count(),
                                     shard_id=process_index(),
                                     seed=args.seed or 0,
                                     cache_dtype=args.cache_dtype,
-                                    max_bytes=12_000_000_000)
+                                    sharding=cache_sharding,
+                                    max_bytes=cache_cap)
         logger.info(f"device-cached {len(dataset)} samples "
                     f"({loader.nbytes / 1e9:.2f} GB in HBM)")
     else:
@@ -164,7 +176,7 @@ def main():
                                  loc_weight_fn=loc_weight_fn)
     trainer = Trainer(
         train_step, state, work_dir=work_dir, total_epochs=total_epochs,
-        lr_fn=lr_fn, mesh=make_mesh(),
+        lr_fn=lr_fn, mesh=mesh,
         log_interval=int(dict(cfg.log_config).get("interval", 20)),
         checkpoint_interval=int(dict(cfg.checkpoint_config).get("interval", 5)),
         meta=dict(config=cfg.text), fuse_epochs=args.fuse_epochs)
