@@ -51,7 +51,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: Optional[bool] = None, num_shards: int = 1,
-                 shard_id: int = 0, prefetch: int = 2, seed: int = 0):
+                 shard_id: int = 0, prefetch: int = 2, seed: int = 0,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,6 +62,16 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        # ``workers_per_gpu`` parity (reference build_dataloader,
+        # loader/build_loader.py): N parallel sample loads per batch.
+        # Threads, not processes — the per-sample work is numpy/native
+        # decode+crop which releases the GIL, threads are fork-safe next to
+        # a live JAX runtime, and arrays need no IPC copy.
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def set_epoch(self, epoch: int):
         """DistSamplerSeedHook parity (hooks/sampler_seed.py:4-6)."""
@@ -102,7 +113,12 @@ class BatchLoader:
             valid = len(sel)
             if valid < bs:  # pad final eval batch to fixed shape
                 sel = np.concatenate([sel, np.repeat(sel[-1:], bs - valid)])
-            yield self._collate([self.dataset[int(i)] for i in sel], valid)
+            if self._pool is not None:
+                items = list(self._pool.map(self.dataset.__getitem__,
+                                            [int(i) for i in sel]))
+            else:
+                items = [self.dataset[int(i)] for i in sel]
+            yield self._collate(items, valid)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:

@@ -133,6 +133,23 @@ class TestLoader:
         assert batches[-1]["rdr_tensor"].shape == (3, 16, 64, 160, 32)
         assert len(batches[0]["meta"]) == 3
 
+    def test_num_workers_matches_serial(self, synth_root):
+        """workers_per_gpu parity: the threaded sample-load pool must yield
+        byte-identical batches in the same order as serial loading."""
+        root, _ = synth_root
+        ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                             split="train")
+        serial = BatchLoader(ds, batch_size=3, shuffle=True, seed=2)
+        pooled = BatchLoader(ds, batch_size=3, shuffle=True, seed=2,
+                             num_workers=4)
+        serial.set_epoch(1)
+        pooled.set_epoch(1)
+        for bs_, bp in zip(serial, pooled):
+            assert bs_["valid"] == bp["valid"]
+            np.testing.assert_array_equal(bs_["rdr_tensor"], bp["rdr_tensor"])
+            np.testing.assert_array_equal(bs_["poses"], bp["poses"])
+            assert [m for m in bs_["meta"]] == [m for m in bp["meta"]]
+
     def test_train_drop_last(self, synth_root):
         root, _ = synth_root
         ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",

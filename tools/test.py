@@ -66,7 +66,8 @@ def main():
     batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,
                          drop_last=False, num_shards=process_count(),
-                         shard_id=process_index())
+                         shard_id=process_index(),
+                         num_workers=int(cfg.data.get("workers_per_gpu", 0)))
 
     # template state (opt state is discarded; checkpoints store it too)
     dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,

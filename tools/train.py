@@ -136,7 +136,8 @@ def main():
     else:
         loader = BatchLoader(dataset, batch_size=per_host_bs, shuffle=True,
                              num_shards=process_count(),
-                             shard_id=process_index(), seed=args.seed or 0)
+                             shard_id=process_index(), seed=args.seed or 0,
+                             num_workers=int(cfg.data.get("workers_per_gpu", 0)))
     steps_per_epoch = len(loader)
     total_steps = steps_per_epoch * total_epochs
 
