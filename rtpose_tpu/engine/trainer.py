@@ -69,6 +69,10 @@ class TensorboardWriter:
             self.writer.close()
 
 
+class Preempted(Exception):
+    """Raised inside the train loop after a preemption checkpoint is saved."""
+
+
 class Trainer:
     def __init__(self, train_step: Callable, state: TrainState, *,
                  work_dir: str, total_epochs: int,
@@ -107,6 +111,7 @@ class Trainer:
         self._pending: List[Any] = []
         self._epoch_t0 = 0.0
         self._hooks: List[Hook] = []
+        self._preempted = False
         if default_hooks:
             self.register_hook(SamplerSeedHook())
             self.register_hook(LoggerHook(log_interval))
@@ -148,23 +153,66 @@ class Trainer:
         self.logger.info(
             f"start training: {self.total_epochs} epochs x {steps_per_epoch} "
             f"steps, {self.mesh.devices.size} device(s)")
+        prev_handler = self._install_preempt_handler()
         self.call_hook("before_run")
-        while self.epoch < self.total_epochs:
-            for mode, times in workflow:
-                for _ in range(times):
-                    if mode == "train":
-                        if self.epoch >= self.total_epochs:
-                            break
-                        self.train_epoch(train_loader)
-                    elif mode == "val" and val_loader is not None and eval_fn:
-                        # runs after the final train epoch too (the epoch
-                        # cap must not skip the trailing val phase)
-                        eval_fn(self.state, val_loader, self.epoch)
-                        self.call_hook("after_val_epoch")
+        try:
+            while self.epoch < self.total_epochs:
+                for mode, times in workflow:
+                    for _ in range(times):
+                        if mode == "train":
+                            if self.epoch >= self.total_epochs:
+                                break
+                            self.train_epoch(train_loader)
+                        elif mode == "val" and val_loader is not None and eval_fn:
+                            # runs after the final train epoch too (the epoch
+                            # cap must not skip the trailing val phase)
+                            eval_fn(self.state, val_loader, self.epoch)
+                            self.call_hook("after_val_epoch")
+        except Preempted:
+            self.logger.warning(
+                f"preempted: checkpoint saved at epoch {self.epoch}, "
+                f"step {int(jax.device_get(self.state.step))} — resume with "
+                f"--resume_from {os.path.join(self.work_dir, 'checkpoints')}")
+        finally:
+            self._restore_preempt_handler(prev_handler)
         self.call_hook("after_run")
         if self.tb:
             self.tb.close()
         return self.state
+
+    # -- preemption handling (SIGTERM -> checkpoint -> clean exit) -------
+    #
+    # TPU pods get preempted with a SIGTERM grace window; the reference has
+    # no handler (a killed torch run loses the current epoch).  The handler
+    # only sets a flag — the loop checkpoints at the next step boundary, so
+    # device state is never saved mid-step.  Resume restarts the
+    # in-progress epoch from its beginning with the saved params/opt/step
+    # (the step-based one-cycle schedule continues exactly).
+
+    def _install_preempt_handler(self):
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return None
+
+        def _on_term(signum, frame):
+            self._preempted = True
+            self.logger.warning("SIGTERM: will checkpoint and exit at the "
+                                "next step boundary")
+
+        return signal.signal(signal.SIGTERM, _on_term)
+
+    def _restore_preempt_handler(self, prev):
+        if prev is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prev)
+
+    def _check_preempt(self):
+        if not self._preempted:
+            return
+        self.flush_metrics()
+        self.save_checkpoint()
+        raise Preempted()
 
     # ------------------------------------------------------------------
 
@@ -200,6 +248,7 @@ class Trainer:
                 "time": t_done - t_iter,
             }
             self.call_hook("after_train_iter")
+            self._check_preempt()
             t_iter = time.perf_counter()
         self.epoch += 1
         self.call_hook("after_train_epoch")
@@ -253,6 +302,9 @@ class Trainer:
             self.log_buffer.clear_output()
         self.epoch += 1
         self.call_hook("after_train_epoch")
+        # fused epochs are one atomic dispatch: preemption is honored at
+        # epoch boundaries (the grace window must cover one epoch)
+        self._check_preempt()
 
     # -- helpers used by the built-in hooks ------------------------------
 
