@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -71,6 +72,10 @@ class DataBaseSampler:
         self.db = db
         self.sample_groups = dict(sample_groups)
         self.rng = rng or np.random.default_rng(0)
+        # BatchLoader worker threads share this sampler; Generator state is
+        # not thread-safe, so draws are serialized (draws are tiny vs the
+        # per-sample decode work)
+        self._lock = threading.Lock()
 
     def sample_all(self, points: np.ndarray, gt_boxes: np.ndarray,
                    gt_names: List[str]):
@@ -90,8 +95,9 @@ class DataBaseSampler:
             if not pool:
                 continue
             need = max(0, want - sum(n == cls for n in names))
-            picks = self.rng.choice(len(pool), size=min(need, len(pool)),
-                                    replace=False)
+            with self._lock:
+                picks = self.rng.choice(len(pool), size=min(need, len(pool)),
+                                        replace=False)
             for pi in np.atleast_1d(picks):
                 cand = pool[int(pi)]
                 box = cand["box"].copy()

@@ -73,6 +73,11 @@ class BatchLoader:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+
     def set_epoch(self, epoch: int):
         """DistSamplerSeedHook parity (hooks/sampler_seed.py:4-6)."""
         self.epoch = epoch

@@ -13,9 +13,16 @@ against the on-device path and (b) the ``precompute_targets`` loader mode.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, Optional
 
 import numpy as np
+
+# pipeline stages run from BatchLoader's worker threads (num_workers>1);
+# global-RNG sections take this lock so concurrent samples don't corrupt
+# the generator state (ordering across threads is still nondeterministic —
+# same contract as the reference's worker processes)
+_rng_lock = threading.Lock()
 
 from ..core.targets import PoseTargetSpec, assign_pose_targets_np
 from ..registry import PIPELINES
@@ -119,7 +126,8 @@ class Preprocess:
         points = points.copy()
         points[:, :3] = (p_l2r @ homo.T).T[:, :3]
         if self.shuffle_points:
-            np.random.shuffle(points)
+            with _rng_lock:
+                np.random.shuffle(points)
         item["points"] = points
         item["num_points"] = np.int32(len(points))
         return item

@@ -35,8 +35,12 @@ def save_checkpoint(work_dir: str, state: TrainState, epoch: int,
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, f"epoch_{epoch}")
     with ocp.StandardCheckpointer() as ckptr:
+        # force: an epoch_N from an earlier save of this epoch (a previous
+        # preemption, a checkpoint-hook save preceding a mid-epoch SIGTERM)
+        # must be overwritten with the newer state, not crash the save —
+        # orbax raises on existing destinations by default
         ckptr.save(os.path.join(path, "state"),
-                   jax.tree.map(np.asarray, state))
+                   jax.tree.map(np.asarray, state), force=True)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(dict(meta or {}, epoch=epoch, step=int(state.step)), f)
     # relative 'latest' pointer (reference uses a symlink)

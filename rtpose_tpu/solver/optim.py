@@ -45,7 +45,11 @@ def one_cycle_values(step, total_steps: int, lr_max: float, moms=(0.95, 0.85),
     step = jnp.asarray(step, jnp.float32)
 
     pct1 = step / a1
-    pct2 = (step - a1) / max(total_steps - a1, 1)
+    # clamp: steps past total_steps hold the final annealed lr/mom instead
+    # of cosine-wrapping back up.  The reference never runs past total, but
+    # a mid-epoch preemption resume restarts the epoch with the saved step
+    # count, so a completed run can overshoot by up to one epoch.
+    pct2 = jnp.clip((step - a1) / max(total_steps - a1, 1), 0.0, 1.0)
     in_phase1 = step < a1
     lr = jnp.where(in_phase1,
                    _annealing_cos(low_lr, lr_max, pct1),

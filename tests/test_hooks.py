@@ -258,3 +258,17 @@ class TestPreemption:
         trainer, loader = make_trainer(tmp_path, total_epochs=1)
         trainer.run(loader)
         assert signal.getsignal(signal.SIGTERM) is before
+
+
+class TestCheckpointOverwrite:
+    def test_same_epoch_resave_overwrites(self, tmp_path):
+        """Saving epoch_N twice (checkpoint hook then a mid-epoch preempt,
+        or a second preemption after resume) must overwrite, not crash."""
+        trainer, loader = make_trainer(tmp_path, total_epochs=1)
+        trainer.run(loader)
+        p1 = trainer.save_checkpoint()
+        p2 = trainer.save_checkpoint()   # same epoch number
+        assert p1 == p2
+        from rtpose_tpu.engine import load_checkpoint
+        state, meta = load_checkpoint(p2, jax.device_get(trainer.state))
+        assert int(np.asarray(state.step)) == int(np.asarray(trainer.state.step))

@@ -243,3 +243,17 @@ class TestLocWeightSchedule:
             model, head, spec, opt,
             loc_weight_fn=piecewise_weight(float(head.weight))))(state, batch)
         assert float(m0["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+
+
+class TestOneCyclePastTotal:
+    def test_holds_final_lr_beyond_total_steps(self):
+        """Steps past total_steps (possible after a mid-epoch preemption
+        resume) hold the annealed floor instead of cosine-wrapping back up."""
+        total, lr_max = 1000, 2e-3
+        lr_end, mom_end = one_cycle_values(total, total, lr_max)
+        for step in (total + 1, int(total * 1.5), total * 2):
+            lr, mom = one_cycle_values(step, total, lr_max)
+            assert float(lr) == pytest.approx(float(lr_end), rel=1e-6), step
+            assert float(mom) == pytest.approx(float(mom_end), rel=1e-6), step
+        # and the floor really is the annealed minimum, not lr_max/2
+        assert float(lr_end) < lr_max / 100

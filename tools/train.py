@@ -73,6 +73,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.loc_weight_early is not None and args.loc_weight_early_steps <= 0:
+        raise SystemExit("--loc_weight_early needs --loc_weight_early_steps N "
+                         "(> 0); with the default 0 the early weight would "
+                         "never apply")
     from rtpose_tpu.utils import apply_platform_env
     apply_platform_env()
     if args.multihost:
@@ -92,6 +96,10 @@ def main():
     from rtpose_tpu.solver import adam_one_cycle, make_one_cycle_fns
 
     cfg = Config.fromfile(args.config)
+    if args.cache_shard and not (args.device_cache
+                                 or cfg.data.get("device_cache", False)):
+        raise SystemExit("--cache_shard shards the device cache: it requires "
+                         "--device_cache")
     work_dir = args.work_dir or os.path.join(
         "./work_dirs", os.path.basename(args.config)[:-3],
         datetime.now().strftime("%Y%m%d_%H%M%S"))
