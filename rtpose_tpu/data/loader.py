@@ -285,3 +285,137 @@ class DeviceCachedLoader:
             batch["meta"] = [self.metas[int(i)] for i in sel]
             batch["valid"] = np.int32(valid)
             yield batch
+
+
+class StreamingDeviceLoader:
+    """Device-resident batches for datasets LARGER than one chip's HBM.
+
+    The sample space is split (by a construction-seeded permutation) into
+    chunks whose arrays fit a ``chunk_bytes`` budget.  Each epoch visits the
+    chunks in an epoch-seeded random order; while the device trains on the
+    resident chunk (same on-device gather batching as
+    ``DeviceCachedLoader``), a background thread decodes and uploads the
+    NEXT chunk — double buffering, so HBM holds at most two chunks and the
+    host path overlaps device compute (prefetch-to-device; the TPU-native
+    version of the reference's worker prefetch, build_loader.py).
+
+    Shuffle semantics are BLOCK shuffle (chunk order x within-chunk order
+    per epoch), not the global permutation of BatchLoader/DeviceCachedLoader
+    — every sample is still visited exactly once per epoch.  With a single
+    chunk this degenerates to DeviceCachedLoader's behavior (tested).
+
+    Batch sizes must divide into each chunk: chunk lengths are made a
+    multiple of ``batch_size`` (the construction permutation's remainder
+    chunk is padded by repeats, ``valid`` marks the real count).
+    """
+
+    def __init__(self, dataset, batch_size: int, chunk_bytes: int,
+                 shuffle: bool = True, seed: int = 0, cache_dtype=None,
+                 num_shards: int = 1, shard_id: int = 0):
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.cache_dtype = cache_dtype
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+        # probe one item for shapes/dtypes -> samples per chunk
+        first = dataset[0]
+        self._keys = []
+        self._shapes = {}
+        self._dtypes = {}
+        self._orig_dtype = {}
+        per_sample = 0
+        for k, v in first.items():
+            if k == "meta" or k in BatchLoader.LIST_KEYS:
+                continue
+            a = np.asarray(v)
+            if not np.issubdtype(a.dtype, np.number):
+                continue
+            dt = a.dtype
+            if cache_dtype is not None and np.issubdtype(dt, np.floating):
+                self._orig_dtype[k] = dt
+                dt = np.dtype(jnp.dtype(cache_dtype))
+            self._keys.append(k)
+            self._shapes[k] = a.shape
+            self._dtypes[k] = dt
+            per_sample += int(np.prod(a.shape)) * dt.itemsize
+        if "poses" not in self._keys or "num_poses" not in self._keys:
+            raise ValueError("StreamingDeviceLoader requires 'poses'/"
+                             "'num_poses' (on-device target assignment)")
+
+        # per-host shard of the sample space, then fixed chunk assignment
+        n_total = len(dataset)
+        mine = np.arange(n_total)[shard_id::num_shards]
+        rng = np.random.default_rng(seed)
+        mine = rng.permutation(mine)                  # mixing across chunks
+        per_chunk = max(batch_size,
+                        (chunk_bytes // max(per_sample, 1)) // batch_size
+                        * batch_size)
+        pad = (-len(mine)) % batch_size
+        self._pad = pad
+        if pad:
+            mine = np.concatenate([mine, np.repeat(mine[-1:], pad)])
+        self.chunks = [mine[i:i + per_chunk]
+                       for i in range(0, len(mine), per_chunk)]
+        self.n = len(mine)                            # padded count
+        self.samples_per_chunk = per_chunk
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.n // self.batch_size
+
+    def _load_chunk(self, idx: np.ndarray):
+        """Decode + stack + upload one chunk (runs on the prefetch thread)."""
+        import jax
+        items = [self.dataset[int(i)] for i in idx]
+        dev = {}
+        for k in self._keys:
+            a = np.stack([np.asarray(it[k]) for it in items])
+            a = a.astype(self._dtypes[k]).reshape(len(items), -1)
+            dev[k] = jax.device_put(a)
+        metas = [it.get("meta") for it in items]
+        return dev, metas
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.default_rng(self.seed + self.epoch + 1)
+        order = (rng.permutation(len(self.chunks)) if self.shuffle
+                 else np.arange(len(self.chunks)))
+        bs = self.batch_size
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(self._load_chunk, self.chunks[order[0]])
+            for ci, chunk_id in enumerate(order):
+                data, metas = nxt.result()
+                if ci + 1 < len(order):   # overlap the next upload
+                    nxt = pool.submit(self._load_chunk,
+                                      self.chunks[order[ci + 1]])
+                m = len(self.chunks[chunk_id])
+                within = (rng.permutation(m) if self.shuffle
+                          else np.arange(m))
+                is_last_chunk = chunk_id == len(self.chunks) - 1
+                for b in range(m // bs):
+                    sel = within[b * bs:(b + 1) * bs]
+                    sel_dev = jax.device_put(sel.astype(np.int32))
+                    batch = {}
+                    for k, v in data.items():
+                        g = jnp.take(v, sel_dev, axis=0)
+                        if k in self._orig_dtype:
+                            g = g.astype(self._orig_dtype[k])
+                        batch[k] = g.reshape(bs, *self._shapes[k])
+                    batch["meta"] = [metas[int(i)] for i in sel]
+                    # padded repeats live at the tail of the LAST chunk;
+                    # under shuffle they scatter within it, so 'valid' is
+                    # conservative only for the unshuffled eval case
+                    batch["valid"] = np.int32(bs)
+                    yield batch

@@ -277,3 +277,113 @@ class TestComplexCube:
         # (2D, Z, Y, X) -> channels-last (Z, Y, X, 2D)
         assert item["rdr_tensor"].shape == (16, 64, 160, 16)
         assert np.isfinite(item["rdr_tensor"]).all()
+
+
+class TestStreamingDeviceLoader:
+    def _ds(self, root):
+        return CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
+                               split="train")
+
+    def test_single_chunk_visits_all_once(self, synth_root):
+        root, _ = synth_root
+        from rtpose_tpu.data import StreamingDeviceLoader
+        ds = self._ds(root)
+        ld = StreamingDeviceLoader(ds, batch_size=3, chunk_bytes=10**12,
+                                   shuffle=True, seed=4)
+        assert len(ld.chunks) == 1
+        ld.set_epoch(2)
+        seen = []
+        for b in ld:
+            assert b["rdr_tensor"].shape == (3, 16, 64, 160, 32)
+            seen += [m["frame"] if isinstance(m, dict) and "frame" in m else i
+                     for i, m in enumerate(b["meta"])]
+        # 6 train samples at bs 3: 6 slots visited (no duplication needed)
+        assert len(seen) == len(ld) * 3 == ld.n
+
+    def test_multi_chunk_coverage_and_order_varies(self, synth_root):
+        """3 chunks: every sample appears exactly once per epoch (modulo the
+        batch-divisibility pad), epochs reshuffle chunk + within order."""
+        root, _ = synth_root
+        from rtpose_tpu.data import StreamingDeviceLoader
+        ds = self._ds(root)
+        per_sample = 16 * 64 * 160 * 32 * 4
+        ld = StreamingDeviceLoader(ds, batch_size=2, chunk_bytes=per_sample * 2,
+                                   shuffle=True, seed=4)
+        assert len(ld.chunks) == 4   # 8 train samples, 2 per chunk
+        assert all(len(c) == 2 for c in ld.chunks)
+
+        def epoch_tensor_sums(epoch):
+            ld.set_epoch(epoch)
+            sums = []
+            for b in ld:
+                a = np.asarray(b["rdr_tensor"])
+                sums += [float(a[i].sum()) for i in range(a.shape[0])]
+            return sums
+
+        e0, e1 = epoch_tensor_sums(0), epoch_tensor_sums(1)
+        assert len(e0) == 8
+        # same multiset of samples each epoch, different order
+        assert sorted(e0) == pytest.approx(sorted(e1))
+        assert e0 != e1
+
+    def test_matches_device_cached_content(self, synth_root):
+        """Single-chunk streaming gathers the same per-sample arrays the
+        DeviceCachedLoader serves (content check, independent of order)."""
+        root, _ = synth_root
+        from rtpose_tpu.data import DeviceCachedLoader, StreamingDeviceLoader
+        ds = self._ds(root)
+        sld = StreamingDeviceLoader(ds, batch_size=4, chunk_bytes=10**12,
+                                    shuffle=False, seed=0)
+        dcl = DeviceCachedLoader(ds, batch_size=4, shuffle=False,
+                                 drop_last=True)
+        s_sums = sorted(float(np.asarray(b["rdr_tensor"])[i].sum())
+                        for b in sld for i in range(4))
+        d_sums = sorted(float(np.asarray(b["rdr_tensor"])[i].sum())
+                        for b in dcl for i in range(4))
+        assert len(s_sums) == len(d_sums) == 8
+        assert s_sums == pytest.approx(d_sums)
+
+    def test_trains(self, synth_root):
+        """A few real fused train steps over streaming batches."""
+        root, _ = synth_root
+        import jax
+        import jax.numpy as jnp
+        from rtpose_tpu.data import StreamingDeviceLoader
+        from test_solver_engine import tiny_model_and_spec
+        # tiny in-memory dataset in the tiny-grid geometry
+        from rtpose_tpu.engine import create_train_state, make_train_step
+        from rtpose_tpu.solver import adam_one_cycle
+
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(i)
+                return {
+                    "rdr_tensor": r.normal(size=(Z, Y, X, 1)).astype(np.float32),
+                    "poses": (r.uniform(0.3, 0.7, size=(1, 15, 3))
+                              * np.array([X, Y, Z]) * np.array([0.5, 1.0, 0.5])
+                              + np.array([0.0, -4.0, -1.0])).astype(np.float32),
+                    "num_poses": np.int32(1), "meta": {"i": i}}
+
+        per = Z * Y * X * 4
+        ld = StreamingDeviceLoader(DS(), batch_size=2, chunk_bytes=per * 4,
+                                   shuffle=True, seed=0,
+                                   cache_dtype="bfloat16")
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        state = create_train_state(model, opt,
+                                   jnp.zeros((1, Z, Y, X, 1), jnp.float32))
+        step = jax.jit(make_train_step(model, head, spec, opt))
+        losses = []
+        for epoch in range(2):
+            ld.set_epoch(epoch)
+            for b in ld:
+                dev = {k: v for k, v in b.items() if k not in ("meta", "valid")}
+                state, m = step(state, dev)
+                losses.append(float(np.asarray(m["loss"])))
+        assert len(losses) == 10 and np.isfinite(losses).all()

@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--cache_dtype", default=None,
                    help="store the device cache compressed (e.g. bfloat16); "
                         "batches are cast back to f32 after the gather")
+    p.add_argument("--stream_cache_gb", type=float, default=None,
+                   help="device-resident batches for datasets larger than "
+                        "HBM: split the set into chunks of this many GB, "
+                        "double-buffer chunk uploads behind device compute "
+                        "(block-shuffle semantics)")
     p.add_argument("--cache_shard", action="store_true",
                    help="shard the device cache P('data') across the mesh "
                         "(cacheable set scales with devices instead of one "
@@ -141,6 +146,15 @@ def main():
                                     max_bytes=cache_cap)
         logger.info(f"device-cached {len(dataset)} samples "
                     f"({loader.nbytes / 1e9:.2f} GB in HBM)")
+    elif args.stream_cache_gb:
+        from rtpose_tpu.data import StreamingDeviceLoader
+        loader = StreamingDeviceLoader(
+            dataset, batch_size=per_host_bs,
+            chunk_bytes=int(args.stream_cache_gb * 1e9), shuffle=True,
+            seed=args.seed or 0, cache_dtype=args.cache_dtype,
+            num_shards=process_count(), shard_id=process_index())
+        logger.info(f"streaming device cache: {len(loader.chunks)} chunks x "
+                    f"{loader.samples_per_chunk} samples (double-buffered)")
     else:
         loader = BatchLoader(dataset, batch_size=per_host_bs, shuffle=True,
                              num_shards=process_count(),
