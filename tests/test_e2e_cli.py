@@ -154,6 +154,17 @@ class TestCLI:
         assert os.path.getsize(artifact) > 0
         assert "exported" in r3.stdout
 
+        # eval THROUGH the artifact must reproduce the live eval exactly
+        r4 = run_tool("test.py", cfg_path, "--checkpoint", work_dir,
+                      "--work_dir", os.path.join(work_dir, "exp_eval"),
+                      "--testset", "--exported", artifact)
+        assert r4.returncode == 0, r4.stderr[-4000:]
+        live = [l for l in r2.stdout.splitlines()
+                if l.startswith("Evaluation MPJPE")]
+        served = [l for l in r4.stdout.splitlines()
+                  if l.startswith("Evaluation MPJPE")]
+        assert live and live == served, (live, served)
+
     @pytest.mark.slow
     def test_resume(self, e2e_env):
         root, cfg_path, work_dir = e2e_env

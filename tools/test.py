@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship ROI-cropped RAW cubes; cast/normalize/layout "
                         "run on-chip (fused Pallas preprocess)")
+    p.add_argument("--exported", default=None, metavar="ARTIFACT",
+                   help="evaluate a serving artifact (tools/export.py) "
+                        "instead of the live model: parameters come baked "
+                        "into the artifact; --checkpoint is only used to "
+                        "name the outputs")
     return p.parse_args()
 
 
@@ -63,26 +68,51 @@ def main():
                                      device_preprocess=args.device_preprocess)
     preprocess = ((dataset.norm_start, dataset.norm_scale)
                   if getattr(dataset, "device_preprocess", False) else None)
-    batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
+    exported_predict = None
+    if args.exported:
+        from rtpose_tpu.export import load_predict
+        exported_predict = load_predict(args.exported)
+        in0 = jax.tree.leaves(exported_predict.in_avals)[0]
+        batch_size = int(in0.shape[0])
+        logger.info(f"serving artifact: platforms="
+                    f"{','.join(exported_predict.platforms)}, "
+                    f"batch={batch_size}")
+    else:
+        batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,
                          drop_last=False, num_shards=process_count(),
                          shard_id=process_index(),
                          num_workers=int(cfg.data.get("workers_per_gpu", 0)))
 
-    # template state (opt state is discarded; checkpoints store it too)
-    dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
-                               grad_clip_norm=None)
-    template = create_train_state(asm.model, dummy_opt, asm.example_input())
-    state, meta = load_checkpoint(args.checkpoint, template)
-    n_params = sum(p.size for p in jax.tree.leaves(state.params))
-    logger.info(f"Model parameter count: {n_params}")
+    if exported_predict is not None:
+        # parameters are baked into the artifact; the fixed-shape exported
+        # call runs unsharded (export a bigger batch for multi-chip serving)
+        mesh = None
+        params = None
+        if asm.input_key is None:
+            from rtpose_tpu.engine.steps import VOXEL_KEYS
 
-    mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
-    params = replicate(state.params, mesh)
-    eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
-                               input_key=asm.input_key, sparse=asm.sparse_head,
-                               preprocess=preprocess,
-                               multi_poses=asm.multi_poses)
+            def eval_step(params, batch):
+                return exported_predict({k: batch[k] for k in VOXEL_KEYS})
+        else:
+            def eval_step(params, batch):
+                return exported_predict(batch[asm.input_key])
+    else:
+        # template state (opt state is discarded; checkpoints store it too)
+        dummy_opt = adam_one_cycle(lambda s: 0.0, None, weight_decay=0.0,
+                                   grad_clip_norm=None)
+        template = create_train_state(asm.model, dummy_opt, asm.example_input())
+        state, meta = load_checkpoint(args.checkpoint, template)
+        n_params = sum(p.size for p in jax.tree.leaves(state.params))
+        logger.info(f"Model parameter count: {n_params}")
+
+        mesh = make_mesh() if batch_size % jax.local_device_count() == 0 else make_mesh(1)
+        params = replicate(state.params, mesh)
+        eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
+                                   input_key=asm.input_key,
+                                   sparse=asm.sparse_head,
+                                   preprocess=preprocess,
+                                   multi_poses=asm.multi_poses)
     detections, sec_per_frame = run_eval(
         eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
         mesh=mesh, speed_test=args.speed_test, logger=logger)
