@@ -81,3 +81,35 @@ class TestExport:
         bad = jnp.zeros((2, *asm.input_shape_zyxc), jnp.float32)
         with pytest.raises(Exception):
             predict(bad)
+
+
+class TestExportMultiPose:
+    def test_multipose_artifact_matches_live(self, tmp_path_factory):
+        """max_poses=2 configs export the top-P decode path; artifact output
+        ((B,P,K,3) kpts, (B,P) scores) matches the live step."""
+        cfg_path = tmp_path_factory.mktemp("exp_mp2") / "tiny_mp2.py"
+        cfg_path.write_text(CONFIG_TEMPLATE.format(root="/nonexistent",
+                                                   roi=TINY_ROI)
+                            .replace("max_poses=1", "max_poses=2"))
+        asm = assemble(Config.fromfile(str(cfg_path)))
+        assert asm.multi_poses == 2
+        opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                             grad_clip_norm=None)
+        state = create_train_state(asm.model, opt, asm.example_input(),
+                                   jax.random.PRNGKey(5))
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, *asm.input_shape_zyxc))
+                        .astype(np.float32))
+        live = make_predict_fn(asm, state.params)(x)
+        predict = load_predict(export_predict(asm, state.params,
+                                              batch_size=1,
+                                              platforms=("cpu",)))
+        out = predict(x)
+        (k_l, s_l), = live
+        (k_a, s_a), = out
+        assert np.asarray(k_a).shape == (1, 2, 15, 3)
+        np.testing.assert_allclose(np.asarray(k_a), np.asarray(k_l),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_l),
+                                   rtol=1e-5, atol=1e-6)
