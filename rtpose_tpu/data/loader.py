@@ -153,6 +153,45 @@ class BatchLoader:
             yield item
 
 
+def _numeric_spec(first: dict, cache_dtype):
+    """Numeric-array spec of one sample: (keys, shapes, cache dtypes,
+    original dtypes of compressed keys).  Shared by the device-resident
+    loaders so their caching rules stay in lockstep."""
+    import jax.numpy as jnp
+    keys, shapes, dtypes, orig = [], {}, {}, {}
+    for k, v in first.items():
+        if k == "meta" or k in BatchLoader.LIST_KEYS:
+            continue
+        a = np.asarray(v)
+        if not np.issubdtype(a.dtype, np.number):
+            continue
+        dt = a.dtype
+        if cache_dtype is not None and np.issubdtype(dt, np.floating):
+            orig[k] = dt
+            dt = np.dtype(jnp.dtype(cache_dtype))
+        keys.append(k)
+        shapes[k] = a.shape
+        dtypes[k] = dt
+    if "poses" not in keys or "num_poses" not in keys:
+        raise ValueError(
+            "device-resident loaders require 'poses'/'num_poses' in dataset "
+            "items (on-device target assignment); precomputed host targets "
+            "(hm/ind/mask/...) are not cached — use BatchLoader")
+    return keys, shapes, dtypes, orig
+
+
+def _gather_batch(data, sel_dev, bs, shapes, orig_dtype):
+    """On-device batch gather from (N, K)-stored cache arrays."""
+    import jax.numpy as jnp
+    batch = {}
+    for k, v in data.items():
+        g = jnp.take(v, sel_dev, axis=0)
+        if k in orig_dtype:
+            g = g.astype(orig_dtype[k])
+        batch[k] = g.reshape(bs, *shapes[k])
+    return batch
+
+
 class DeviceCachedLoader:
     """Device-resident dataset: every sample's arrays are uploaded to HBM
     ONCE; per-step batches are built with an on-device gather, so the hot
@@ -187,37 +226,20 @@ class DeviceCachedLoader:
         self.epoch = 0
 
         items = [dataset[i] for i in range(len(dataset))]
-        first = items[0]
-        arrays: Dict[str, np.ndarray] = {}
-        self._orig_dtype: Dict[str, Any] = {}
-        for k, v in first.items():
-            if k == "meta" or k in BatchLoader.LIST_KEYS:
-                continue
-            if (isinstance(v, np.ndarray) or np.isscalar(v)) \
-                    and np.issubdtype(np.asarray(v).dtype, np.number):
-                a = np.stack([np.asarray(it[k]) for it in items])
-                if cache_dtype is not None and np.issubdtype(a.dtype, np.floating):
-                    # compressed cache: halve HBM footprint, cast back after
-                    # the per-batch gather
-                    self._orig_dtype[k] = a.dtype
-                    a = a.astype(jnp.dtype(cache_dtype))
-                arrays[k] = a
         # precomputed host targets (BatchLoader.LIST_KEYS) are NOT cached —
-        # device-cached training always uses the on-device assigner, which
-        # needs raw poses; fail loudly if the dataset provides only
-        # precomputed targets
-        if "poses" not in arrays or "num_poses" not in arrays:
-            raise ValueError(
-                "DeviceCachedLoader requires 'poses'/'num_poses' in dataset "
-                "items (on-device target assignment); precomputed host "
-                "targets (hm/ind/mask/...) are not cached — use BatchLoader")
-        # store every array flattened to (N, K): TPU tiles the trailing two
-        # dims to (8, 128), so e.g. a (..., 160, 32)-shaped cache would pad
-        # channels 32 -> 128 and QUADRUPLE its HBM footprint; one huge K
-        # pads to the next multiple of 128 only
-        self._shapes = {k: a.shape[1:] for k, a in arrays.items()}
-        arrays = {k: a.reshape(a.shape[0], -1) if a.ndim > 1 else a
-                  for k, a in arrays.items()}
+        # device-cached training always uses the on-device assigner (needs
+        # raw poses); compressed (cache_dtype) float keys are cast back
+        # after the per-batch gather.  Arrays are stored flattened to
+        # (N, K): TPU tiles the trailing two dims to (8, 128), so e.g. a
+        # (..., 160, 32)-shaped cache would pad channels 32 -> 128 and
+        # QUADRUPLE its HBM footprint; one huge K pads to the next multiple
+        # of 128 only.
+        keys, shapes, dtypes, self._orig_dtype = _numeric_spec(items[0],
+                                                               cache_dtype)
+        self._shapes = shapes
+        arrays = {k: np.stack([np.asarray(it[k]) for it in items])
+                  .astype(dtypes[k]).reshape(len(items), -1)
+                  for k in keys}
         # sharded cache (P('data') on the sample axis): each device holds
         # 1/N of the dataset, so cacheable size scales with the mesh instead
         # of being capped by one chip's HBM; per-batch gathers become GSPMD
@@ -276,12 +298,9 @@ class DeviceCachedLoader:
             sel = idx_padded[b * bs : (b + 1) * bs]
             valid = min(bs, len(idx) - b * bs)
             sel_dev = lax.dynamic_slice(idx_dev, (b * bs,), (bs,))
-            batch: Dict[str, Any] = {}
-            for k, v in self.data.items():
-                g = jnp.take(v, sel_dev, axis=0)
-                if k in self._orig_dtype:
-                    g = g.astype(self._orig_dtype[k])
-                batch[k] = g.reshape(bs, *self._shapes[k])
+            batch: Dict[str, Any] = _gather_batch(self.data, sel_dev, bs,
+                                                  self._shapes,
+                                                  self._orig_dtype)
             batch["meta"] = [self.metas[int(i)] for i in sel]
             batch["valid"] = np.int32(valid)
             yield batch
@@ -299,21 +318,25 @@ class StreamingDeviceLoader:
     host path overlaps device compute (prefetch-to-device; the TPU-native
     version of the reference's worker prefetch, build_loader.py).
 
-    Shuffle semantics are BLOCK shuffle (chunk order x within-chunk order
-    per epoch), not the global permutation of BatchLoader/DeviceCachedLoader
-    — every sample is still visited exactly once per epoch.  With a single
-    chunk this degenerates to DeviceCachedLoader's behavior (tested).
+    Shuffle semantics are BLOCK shuffle (a construction-seeded permutation
+    assigns samples to chunks; each epoch reshuffles chunk order and
+    within-chunk order), not the global permutation of
+    BatchLoader/DeviceCachedLoader — every sample is still visited exactly
+    once per epoch.  With ``shuffle=False`` samples stay in dataset order,
+    so a single chunk degenerates to DeviceCachedLoader's unshuffled
+    behavior exactly (tested).
 
-    Batch sizes must divide into each chunk: chunk lengths are made a
-    multiple of ``batch_size`` (the construction permutation's remainder
-    chunk is padded by repeats, ``valid`` marks the real count).
+    Multi-host: the GLOBAL index list is padded to a shard multiple before
+    slicing (like ``shard_indices``) so every host runs the same number of
+    steps per epoch — unequal shards would deadlock the SPMD collectives.
+    Chunk lengths are a multiple of ``batch_size`` (the remainder is padded
+    by repeats; ``valid`` carries the real count, contiguous-prefix only in
+    the unshuffled case).
     """
 
     def __init__(self, dataset, batch_size: int, chunk_bytes: int,
                  shuffle: bool = True, seed: int = 0, cache_dtype=None,
                  num_shards: int = 1, shard_id: int = 0):
-        import jax.numpy as jnp
-
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -323,45 +346,30 @@ class StreamingDeviceLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
 
-        # probe one item for shapes/dtypes -> samples per chunk
-        first = dataset[0]
-        self._keys = []
-        self._shapes = {}
-        self._dtypes = {}
-        self._orig_dtype = {}
-        per_sample = 0
-        for k, v in first.items():
-            if k == "meta" or k in BatchLoader.LIST_KEYS:
-                continue
-            a = np.asarray(v)
-            if not np.issubdtype(a.dtype, np.number):
-                continue
-            dt = a.dtype
-            if cache_dtype is not None and np.issubdtype(dt, np.floating):
-                self._orig_dtype[k] = dt
-                dt = np.dtype(jnp.dtype(cache_dtype))
-            self._keys.append(k)
-            self._shapes[k] = a.shape
-            self._dtypes[k] = dt
-            per_sample += int(np.prod(a.shape)) * dt.itemsize
-        if "poses" not in self._keys or "num_poses" not in self._keys:
-            raise ValueError("StreamingDeviceLoader requires 'poses'/"
-                             "'num_poses' (on-device target assignment)")
+        self._keys, self._shapes, self._dtypes, self._orig_dtype = \
+            _numeric_spec(dataset[0], cache_dtype)
+        per_sample = sum(int(np.prod(self._shapes[k])) * self._dtypes[k].itemsize
+                         for k in self._keys)
 
-        # per-host shard of the sample space, then fixed chunk assignment
+        # equal per-host shards (pad the GLOBAL list to a shard multiple,
+        # shard_indices-style), then fixed chunk assignment
         n_total = len(dataset)
-        mine = np.arange(n_total)[shard_id::num_shards]
-        rng = np.random.default_rng(seed)
-        mine = rng.permutation(mine)                  # mixing across chunks
+        order = (np.random.default_rng(seed).permutation(n_total)
+                 if shuffle else np.arange(n_total))  # cross-chunk mixing
+        pad_sh = (-n_total) % num_shards
+        if pad_sh:
+            order = np.concatenate([order, order[:pad_sh]])
+        mine = order[shard_id::num_shards]
         per_chunk = max(batch_size,
                         (chunk_bytes // max(per_sample, 1)) // batch_size
                         * batch_size)
+        self._n_real = len(mine)
         pad = (-len(mine)) % batch_size
-        self._pad = pad
-        if pad:
+        if pad:            # repeats; positions >= _n_real are padding
             mine = np.concatenate([mine, np.repeat(mine[-1:], pad)])
         self.chunks = [mine[i:i + per_chunk]
                        for i in range(0, len(mine), per_chunk)]
+        self._chunk_start = list(range(0, len(mine), per_chunk))
         self.n = len(mine)                            # padded count
         self.samples_per_chunk = per_chunk
 
@@ -385,8 +393,8 @@ class StreamingDeviceLoader:
 
     def __iter__(self):
         import jax
-        import jax.numpy as jnp
         from concurrent.futures import ThreadPoolExecutor
+        from jax import lax
 
         rng = np.random.default_rng(self.seed + self.epoch + 1)
         order = (rng.permutation(len(self.chunks)) if self.shuffle
@@ -403,19 +411,19 @@ class StreamingDeviceLoader:
                 m = len(self.chunks[chunk_id])
                 within = (rng.permutation(m) if self.shuffle
                           else np.arange(m))
-                is_last_chunk = chunk_id == len(self.chunks) - 1
+                # ONE index upload per chunk; per-batch slices stay on
+                # device (a blocking tiny H2D per batch costs a full
+                # interconnect RTT — see DeviceCachedLoader.__iter__)
+                within_dev = jax.device_put(within.astype(np.int32))
+                start = self._chunk_start[chunk_id]
+                real = (start + within) < self._n_real
                 for b in range(m // bs):
                     sel = within[b * bs:(b + 1) * bs]
-                    sel_dev = jax.device_put(sel.astype(np.int32))
-                    batch = {}
-                    for k, v in data.items():
-                        g = jnp.take(v, sel_dev, axis=0)
-                        if k in self._orig_dtype:
-                            g = g.astype(self._orig_dtype[k])
-                        batch[k] = g.reshape(bs, *self._shapes[k])
+                    sel_dev = lax.dynamic_slice(within_dev, (b * bs,), (bs,))
+                    batch = _gather_batch(data, sel_dev, bs, self._shapes,
+                                          self._orig_dtype)
                     batch["meta"] = [metas[int(i)] for i in sel]
-                    # padded repeats live at the tail of the LAST chunk;
-                    # under shuffle they scatter within it, so 'valid' is
-                    # conservative only for the unshuffled eval case
-                    batch["valid"] = np.int32(bs)
+                    # real-sample count; a contiguous prefix only when
+                    # unshuffled (pads sit at the tail) — the eval contract
+                    batch["valid"] = np.int32(real[b * bs:(b + 1) * bs].sum())
                     yield batch

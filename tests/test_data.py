@@ -336,12 +336,38 @@ class TestStreamingDeviceLoader:
                                     shuffle=False, seed=0)
         dcl = DeviceCachedLoader(ds, batch_size=4, shuffle=False,
                                  drop_last=True)
-        s_sums = sorted(float(np.asarray(b["rdr_tensor"])[i].sum())
-                        for b in sld for i in range(4))
-        d_sums = sorted(float(np.asarray(b["rdr_tensor"])[i].sum())
-                        for b in dcl for i in range(4))
+        # unshuffled streaming keeps dataset order: position-exact equality
+        s_sums = [float(np.asarray(b["rdr_tensor"])[i].sum())
+                  for b in sld for i in range(4)]
+        d_sums = [float(np.asarray(b["rdr_tensor"])[i].sum())
+                  for b in dcl for i in range(4)]
         assert len(s_sums) == len(d_sums) == 8
         assert s_sums == pytest.approx(d_sums)
+
+    def test_valid_marks_padding(self, synth_root):
+        """8 samples at bs 3 -> 9 slots; the final unshuffled batch carries
+        valid=2 (one pad repeat), matching the BatchLoader contract."""
+        root, _ = synth_root
+        from rtpose_tpu.data import StreamingDeviceLoader
+        ds = self._ds(root)
+        ld = StreamingDeviceLoader(ds, batch_size=3, chunk_bytes=10**12,
+                                   shuffle=False, seed=0)
+        valids = [int(b["valid"]) for b in ld]
+        assert valids == [3, 3, 2]
+
+    def test_equal_shards_across_hosts(self, synth_root):
+        """Uneven dataset sizes must still give every host the same number
+        of steps (multi-host SPMD: unequal shards deadlock collectives)."""
+        root, _ = synth_root
+        from rtpose_tpu.data import StreamingDeviceLoader
+        ds = self._ds(root)    # 8 samples; 3 shards -> pad to 9, 3 each
+        lens = []
+        for sid in range(3):
+            ld = StreamingDeviceLoader(ds, batch_size=3, chunk_bytes=10**12,
+                                       shuffle=True, seed=1, num_shards=3,
+                                       shard_id=sid)
+            lens.append(len(ld))
+        assert len(set(lens)) == 1
 
     def test_trains(self, synth_root):
         """A few real fused train steps over streaming batches."""

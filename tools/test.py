@@ -70,6 +70,11 @@ def main():
                   if getattr(dataset, "device_preprocess", False) else None)
     exported_predict = None
     if args.exported:
+        if args.device_preprocess:
+            raise SystemExit(
+                "--exported artifacts bake the normalized-input predict "
+                "path; --device_preprocess (raw cubes) would feed them "
+                "un-normalized data — drop one of the flags")
         from rtpose_tpu.export import load_predict
         exported_predict = load_predict(args.exported)
         in0 = jax.tree.leaves(exported_predict.in_avals)[0]
@@ -77,6 +82,12 @@ def main():
         logger.info(f"serving artifact: platforms="
                     f"{','.join(exported_predict.platforms)}, "
                     f"batch={batch_size}")
+        if args.speed_test and batch_size != 1:
+            logger.warning(
+                f"--speed_test with --exported times the artifact's baked "
+                f"batch size ({batch_size}), NOT the reference's batch-1 "
+                f"protocol — export with --batch_size 1 for comparable "
+                f"numbers")
     else:
         batch_size = 1 if args.speed_test else int(cfg.data["samples_per_gpu"])
     loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,

@@ -105,6 +105,10 @@ def main():
                                  or cfg.data.get("device_cache", False)):
         raise SystemExit("--cache_shard shards the device cache: it requires "
                          "--device_cache")
+    if args.fuse_epochs and args.stream_cache_gb:
+        raise SystemExit("--fuse_epochs needs the whole dataset resident "
+                         "(--device_cache); the streaming loader runs "
+                         "per-step — drop one of the flags")
     work_dir = args.work_dir or os.path.join(
         "./work_dirs", os.path.basename(args.config)[:-3],
         datetime.now().strftime("%Y%m%d_%H%M%S"))
