@@ -28,6 +28,9 @@ def parse_args():
     p.add_argument("--device_preprocess", action="store_true",
                    help="ship ROI-cropped RAW cubes; cast/normalize/layout "
                         "run on-chip (fused Pallas preprocess)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the whole eval "
+                        "into <work_dir>/profile")
     p.add_argument("--exported", default=None, metavar="ARTIFACT",
                    help="evaluate a serving artifact (tools/export.py) "
                         "instead of the live model: parameters come baked "
@@ -124,9 +127,18 @@ def main():
                                    sparse=asm.sparse_head,
                                    preprocess=preprocess,
                                    multi_poses=asm.multi_poses)
-    detections, sec_per_frame = run_eval(
-        eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
-        mesh=mesh, speed_test=args.speed_test, logger=logger)
+    if args.profile:
+        profile_dir = os.path.join(work_dir, "profile")
+        os.makedirs(profile_dir, exist_ok=True)
+        jax.profiler.start_trace(profile_dir)
+    try:
+        detections, sec_per_frame = run_eval(
+            eval_step, params, loader, asm.decode_spec, one_hm=asm.one_hm,
+            mesh=mesh, speed_test=args.speed_test, logger=logger)
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {work_dir}/profile")
 
     if sec_per_frame is not None:
         print(f"\n Total time per frame: {sec_per_frame}")
