@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import quant as quant_ops
 from ..ops.fold_conv import (FOLD, conv3d_folded, conv3d_folded_gather,
                              conv3d_naive, group_norm_folded)
 

@@ -1,0 +1,160 @@
+"""Post-training int8 quantization for the serving path.
+
+The v5e MXU runs int8 x int8 -> int32 contractions at 2x the bf16 rate
+(394 TOPS vs 197 TFLOP/s), so a weight+activation-quantized forward can
+roughly double conv throughput IF XLA lowers the int8 conv onto the MXU
+int8 path (measured in tools/perf_lab.py, cases ``i8``/``f4i8``).
+
+Design (classic symmetric PTQ, zero-point 0 everywhere):
+
+* **Weights**: per-output-channel symmetric scales ``sw[co] =
+  absmax(w[..., co]) / 127``, quantized at apply time from the canonical
+  f32 checkpoint params (weights are tiny; the rounding is fused into the
+  compiled program and checkpoints stay unchanged).
+* **Activations**: per-conv-input per-tensor scales from a calibration
+  pass.  Calibration runs the SAME jitted method under ``calibrate()`` —
+  each ``TorchConv3d`` records a traced absmax which the wrapper returns,
+  so calibration is one compiled forward per batch, not an eager walk.
+* Zero-point-0 symmetric quant keeps the folded/gather conv formulations
+  (ops/fold_conv.py) EXACT: their structural zero padding quantizes to 0,
+  so boundary handling is unchanged.
+
+Why a context and not a module flag: the quant mode only exists at trace
+time of a serving function (export / bench / eval), and threading a field
+through every HRNet submodule would touch ~15 constructors for a purely
+cross-cutting concern.  The context is consulted by ``TorchConv3d`` at
+apply time; tracing a jit/export inside the context bakes the (host
+float) scales in as constants — the artifact is self-contained.
+
+Reference being replaced: the CUDA baseline has no quantized path; this is
+a TPU-native serving extension (BASELINE.json production-serving goal).
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .fold_conv import (FOLD, _fold_entries, fold_weights_x4, gather_taps_x,
+                        gather_weights_x)
+
+_state = threading.local()
+
+
+class QuantState:
+    def __init__(self, mode: str, scales: Optional[Dict[str, float]] = None,
+                 exclude: tuple = ()):
+        self.mode = mode                    # 'calib' | 'int8'
+        self.scales = scales or {}          # path -> float (act absmax/127)
+        self.exclude = exclude              # path substrings left unquantized
+        self.traced = {}                    # calib: path -> traced absmax
+
+    def excluded(self, path: str) -> bool:
+        return any(s in path for s in self.exclude)
+
+
+def current() -> Optional[QuantState]:
+    return getattr(_state, "q", None)
+
+
+@contextmanager
+def calibrate(exclude: tuple = ()):
+    """Trace a forward inside this context; each conv records a traced
+    absmax of its input into ``state.traced``.  The wrapper function should
+    return ``state.traced`` so the per-batch maxima come out of the jit."""
+    prev = current()
+    q = QuantState("calib", exclude=exclude)
+    _state.q = q
+    try:
+        yield q
+    finally:
+        _state.q = prev
+
+
+@contextmanager
+def int8_mode(scales: Dict[str, float], exclude: tuple = ()):
+    """Trace a forward inside this context to get the int8-quantized
+    program; ``scales`` maps conv paths to activation scales (absmax/127,
+    host floats — baked in as constants)."""
+    prev = current()
+    _state.q = QuantState("int8", dict(scales), exclude=exclude)
+    try:
+        yield _state.q
+    finally:
+        _state.q = prev
+
+
+def scales_from_calib(batch_maxima) -> Dict[str, float]:
+    """Reduce per-batch calibration maxima (list of {path: absmax arrays})
+    to activation scales.  absmax 0 (dead input) falls back to scale 1."""
+    out: Dict[str, float] = {}
+    for rec in batch_maxima:
+        for k, v in rec.items():
+            v = float(np.asarray(v))
+            out[k] = max(out.get(k, 0.0), v)
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in out.items()}
+
+
+def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _quantize_weight(w: jnp.ndarray):
+    """Per-output-channel symmetric int8: returns (wq int8, sw (Co,) f32)."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=tuple(range(w.ndim - 1)))
+    sw = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    wq = jnp.clip(jnp.round(w32 / sw), -127, 127).astype(jnp.int8)
+    return wq, sw
+
+
+def conv3d_int8(x: jnp.ndarray, w: jnp.ndarray, bias, stride: int,
+                act_scale: float, folded: bool, out_dtype) -> jnp.ndarray:
+    """Int8 conv matching TorchConv3d semantics (folded or naive layout).
+
+    ``x`` is the UNquantized activation (any float dtype); ``w`` the
+    canonical (kz, ky, kx, C, Co) float kernel.  Returns dequantized output
+    in ``out_dtype`` — bit-layout-identical to the float path's output so
+    downstream GN/ReLU/decode are untouched.
+    """
+    kz, ky, kx, C, Co = w.shape
+    xq = _quantize_act(x, act_scale)
+    wq, sw = _quantize_weight(w)
+
+    if folded:
+        if stride == 1 and kx > 1 and kx % 2 == 1:
+            g = gather_taps_x(xq, kx)                  # zero pad == zp 0
+            wf = gather_weights_x(wq)                  # int8, zeros exact
+            pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (0, 0)]
+            acc = lax.conv_general_dilated(
+                g, wf, (1, 1, 1), pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.int32)
+        else:
+            _, s_min, s_max = _fold_entries(kx, stride)
+            wf = fold_weights_x4(wq, stride)
+            pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (-s_min, s_max)]
+            acc = lax.conv_general_dilated(
+                xq, wf, (stride,) * 3, pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.int32)
+        lane_scale = jnp.tile(sw, FOLD) * act_scale
+        out = acc.astype(jnp.float32) * lane_scale
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(jnp.float32), FOLD)
+    else:
+        pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (kx // 2, kx // 2)]
+        acc = lax.conv_general_dilated(
+            xq, wq, (stride,) * 3, pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (sw * act_scale)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
