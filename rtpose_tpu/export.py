@@ -24,15 +24,23 @@ import jax
 import jax.numpy as jnp
 
 from .engine.steps import make_eval_step
+from .ops import quant
 
 
-def make_predict_fn(asm, params, preprocess: Optional[tuple] = None):
+def make_predict_fn(asm, params, preprocess: Optional[tuple] = None,
+                    int8_scales: Optional[dict] = None,
+                    int8_exclude: tuple = quant.DEFAULT_EXCLUDE):
     """The serving closure: ``model_input -> decoded predictions``.
 
     ``model_input`` is the normalized radar cube (B, Z, Y, X, C) for dense
     configs, or the voxel sub-dict (VoxelNet batch layout) for lidar
     configs.  Parameters are closed over (baked into the export as
     constants).
+
+    ``int8_scales`` (from :func:`calibrate_predict`) switches every
+    non-excluded conv to the MXU int8 path (2x bf16 rate on v5e) — the
+    quant context is entered per call so it is active at trace time
+    wherever the closure is jitted or exported.
     """
     eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
                                input_key=asm.input_key,
@@ -40,13 +48,29 @@ def make_predict_fn(asm, params, preprocess: Optional[tuple] = None):
                                preprocess=preprocess,
                                multi_poses=asm.multi_poses)
 
+    def run(batch):
+        if int8_scales is None:
+            return eval_step(params, batch)
+        with quant.int8_mode(int8_scales, exclude=int8_exclude):
+            return eval_step(params, batch)
+
     if asm.input_key is None:
         def predict(voxel_batch):
-            return eval_step(params, dict(voxel_batch))
+            return run(dict(voxel_batch))
     else:
         def predict(cube):
-            return eval_step(params, {asm.input_key: cube})
+            return run({asm.input_key: cube})
     return predict
+
+
+def calibrate_predict(asm, params, batches, preprocess: Optional[tuple] = None,
+                      exclude: tuple = quant.DEFAULT_EXCLUDE) -> dict:
+    """Activation-scale calibration for the int8 predict path: one jitted
+    forward per batch over the SAME graph served by :func:`make_predict_fn`.
+    ``batches`` yields model inputs (cubes, or voxel sub-dicts for lidar).
+    """
+    predict = make_predict_fn(asm, params, preprocess=preprocess)
+    return quant.calibration_scales(predict, batches, exclude=exclude)
 
 
 def _input_spec(asm, batch_size: int):
@@ -56,14 +80,20 @@ def _input_spec(asm, batch_size: int):
 
 def export_predict(asm, params, batch_size: int = 1,
                    platforms: Sequence[str] = ("cpu", "tpu"),
-                   preprocess: Optional[tuple] = None) -> bytes:
+                   preprocess: Optional[tuple] = None,
+                   int8_scales: Optional[dict] = None,
+                   int8_exclude: tuple = quant.DEFAULT_EXCLUDE) -> bytes:
     """Lower + serialize the predict path for the given static batch size.
 
     ``platforms`` lists every backend the artifact must run on;
     cross-platform lowering happens on whatever host runs the export (no
-    TPU needed to produce a TPU artifact).
+    TPU needed to produce a TPU artifact).  With ``int8_scales`` the
+    artifact carries the int8-quantized program (weights already rounded,
+    scales baked in as constants).
     """
-    predict = make_predict_fn(asm, params, preprocess=preprocess)
+    predict = make_predict_fn(asm, params, preprocess=preprocess,
+                              int8_scales=int8_scales,
+                              int8_exclude=int8_exclude)
     exp = jax.export.export(jax.jit(predict), platforms=list(platforms))(
         _input_spec(asm, batch_size))
     return exp.serialize()

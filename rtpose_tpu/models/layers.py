@@ -63,6 +63,18 @@ class TorchConv3d(nn.Module):
              if self.use_bias else None)
         if dt is not None:
             x = x.astype(dt)
+        q = quant_ops.current()
+        if q is not None:
+            path = "/".join(self.path)
+            if not q.excluded(path):
+                if q.mode == "calib":
+                    # traced absmax becomes a jit output of the wrapper
+                    # (ops/quant.calibration_scales); conv itself runs float
+                    q.traced[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                elif q.mode == "int8" and path in q.scales:
+                    return quant_ops.conv3d_int8(
+                        x, w, b, self.stride, q.scales[path],
+                        self.folded, x.dtype)
         if self.folded:
             if self.stride == 1 and self.kernel > 1:
                 # tap-gather formulation: half the issued FLOPs of the

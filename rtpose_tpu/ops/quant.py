@@ -100,6 +100,34 @@ def scales_from_calib(batch_maxima) -> Dict[str, float]:
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in out.items()}
 
 
+# Head output convs (SepHead names them "<branch>_out") stay float by
+# default: the hm logits feed a sigmoid+argmax and the reg values are used
+# verbatim in metric space, so their quant error lands 1:1 in the metric,
+# while they carry <2% of the FLOPs.
+DEFAULT_EXCLUDE = ("_out",)
+
+
+def calibration_scales(fn, batches, exclude: tuple = DEFAULT_EXCLUDE,
+                       extra_args: tuple = ()) -> Dict[str, float]:
+    """Run ``fn(batch, *extra_args)`` under calibration over ``batches`` and
+    return activation scales for :func:`int8_mode`.
+
+    ``fn`` must be jit-traceable; each conv's input absmax is recorded as a
+    traced value and returned OUT of the jit, so calibration is one compiled
+    forward per batch (no eager walk).
+    """
+    import jax
+
+    def wrapped(batch, *a):
+        with calibrate(exclude) as q:
+            fn(batch, *a)
+            return dict(q.traced)
+
+    wj = jax.jit(wrapped)
+    maxima = [jax.device_get(wj(b, *extra_args)) for b in batches]
+    return scales_from_calib(maxima)
+
+
 def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
     return jnp.clip(q, -127, 127).astype(jnp.int8)

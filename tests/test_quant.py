@@ -1,0 +1,160 @@
+"""Post-training int8 quantization (ops/quant.py) — the MXU 2x-rate serving
+path.  TPU-new capability: the CUDA reference has no quantized inference
+(serving there is f32/f16 through tools/test.py); on v5e the MXU contracts
+int8 at 394 TOPS vs 197 bf16 TFLOP/s, so the conv-bound HRRadarPose forward
+can ~double with per-channel weight / per-tensor activation symmetric PTQ.
+
+Covers: the int8 conv kernels vs their float forms (naive + both folded
+formulations), the TorchConv3d quant-context dispatch, jitted calibration,
+and the end-to-end calibrate -> int8 predict path on the flagship tiny
+assembly (same fixture as the export suite).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.api import assemble
+from rtpose_tpu.config import Config
+from rtpose_tpu.engine import create_train_state
+from rtpose_tpu.export import calibrate_predict, make_predict_fn
+from rtpose_tpu.models.layers import TorchConv3d
+from rtpose_tpu.ops import quant
+from rtpose_tpu.ops.fold_conv import FOLD, conv3d_naive, fold_x, unfold_x
+from rtpose_tpu.solver import adam_one_cycle
+
+from test_e2e_cli import CONFIG_TEMPLATE, TINY_ROI
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32) * scale)
+
+
+class TestInt8Conv:
+    def test_naive_close_to_float(self):
+        x = _rand((2, 4, 6, 8, 16), 0)
+        w = _rand((3, 3, 3, 16, 24), 1, 0.2)
+        b = _rand((24,), 2)
+        ref = conv3d_naive(x, w, b)
+        act_scale = float(jnp.max(jnp.abs(x))) / 127.0
+        out = quant.conv3d_int8(x, w, b, 1, act_scale, folded=False,
+                                out_dtype=jnp.float32)
+        # 8-bit symmetric quant of both operands: error bounded well below
+        # 2% of the output dynamic range for gaussian inputs
+        tol = 0.02 * float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) < tol
+
+    @pytest.mark.parametrize("kernel,stride", [(3, 1), (3, 2), (1, 1)])
+    def test_folded_matches_naive_int8(self, kernel, stride):
+        """Folded int8 (gather for s1k3, folded-kernel otherwise) computes
+        the IDENTICAL integer program as the naive int8 conv: int32
+        accumulation is exact and the structural zeros quantize to 0."""
+        C, Co = 8, 12
+        x = _rand((2, 4, 6, 16, C), 3)
+        w = _rand((kernel, kernel, kernel, C, Co), 4, 0.3)
+        b = _rand((Co,), 5)
+        act_scale = float(jnp.max(jnp.abs(x))) / 127.0
+        naive = quant.conv3d_int8(x, w, b, stride, act_scale, folded=False,
+                                  out_dtype=jnp.float32)
+        folded = quant.conv3d_int8(fold_x(x), w, b, stride, act_scale,
+                                   folded=True, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(unfold_x(folded)),
+                                   np.asarray(naive), rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("folded", [False, True])
+    def test_torchconv3d_int8_dispatch(self, folded):
+        x = _rand((1, 4, 4, 8, 8), 6)
+        xin = fold_x(x) if folded else x
+        m = TorchConv3d(16, kernel=3, folded=folded, name="conv0")
+        params = m.init(jax.random.PRNGKey(0), xin)
+        ref = m.apply(params, xin)
+        scale = float(jnp.max(jnp.abs(x))) / 127.0
+        with quant.int8_mode({"conv0": scale}):
+            out = m.apply(params, xin)
+        tol = 0.03 * float(jnp.max(jnp.abs(ref))) + 1e-6
+        assert out.shape == ref.shape
+        assert float(jnp.max(jnp.abs(out - ref))) < tol
+
+    def test_unscaled_path_falls_through_to_float(self):
+        x = _rand((1, 4, 4, 8, 8), 7)
+        m = TorchConv3d(8, kernel=3, name="convA")
+        params = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(params, x)
+        with quant.int8_mode({"some_other_conv": 1.0}):
+            out = m.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestCalibration:
+    def test_scales_record_input_absmax(self):
+        m = TorchConv3d(8, kernel=3, name="convB")
+        x = _rand((1, 4, 4, 8, 8), 8)
+        params = m.init(jax.random.PRNGKey(0), x)
+        scales = quant.calibration_scales(
+            lambda b: m.apply(params, b), [x, 2.0 * x], exclude=())
+        assert set(scales) == {"convB"}
+        expect = float(jnp.max(jnp.abs(2.0 * x))) / 127.0
+        assert scales["convB"] == pytest.approx(expect, rel=1e-5)
+
+    def test_exclusion(self):
+        m = TorchConv3d(8, kernel=3, name="hm_out")
+        x = _rand((1, 4, 4, 8, 8), 9)
+        params = m.init(jax.random.PRNGKey(0), x)
+        scales = quant.calibration_scales(lambda b: m.apply(params, b), [x])
+        assert scales == {}  # DEFAULT_EXCLUDE filters *_out convs
+
+
+@pytest.fixture(scope="module")
+def tiny_asm(tmp_path_factory):
+    cfg_path = tmp_path_factory.mktemp("exp_cfg") / "tiny.py"
+    cfg_path.write_text(CONFIG_TEMPLATE.format(root="/nonexistent",
+                                               roi=TINY_ROI))
+    asm = assemble(Config.fromfile(str(cfg_path)))
+    opt = adam_one_cycle(lambda s: 1e-3, None, weight_decay=0.0,
+                         grad_clip_norm=None)
+    state = create_train_state(asm.model, opt, asm.example_input(),
+                               jax.random.PRNGKey(3))
+    return asm, state
+
+
+class TestEndToEnd:
+    def test_calibrate_then_int8_predict(self, tiny_asm):
+        asm, state = tiny_asm
+        B = 2
+        x = _rand((B, *asm.input_shape_zyxc), 10, 0.5) + 0.5
+        scales = calibrate_predict(asm, state.params, [x])
+        assert scales, "no conv scales recorded on the flagship graph"
+        assert not any("_out" in k for k in scales)
+
+        f32 = jax.jit(make_predict_fn(asm, state.params))(x)
+        q8 = jax.jit(make_predict_fn(asm, state.params,
+                                     int8_scales=scales))(x)
+
+        f_l, q_l = jax.tree.leaves(f32), jax.tree.leaves(q8)
+        assert len(f_l) == len(q_l) and len(q_l) > 0
+        for a in q_l:
+            assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32))))
+        # the backbone features feeding the (float) head are quantized:
+        # decoded scores track the float path closely on a GN-normalized net
+        flat_f = jnp.concatenate([jnp.ravel(a).astype(jnp.float32) for a in f_l])
+        flat_q = jnp.concatenate([jnp.ravel(a).astype(jnp.float32) for a in q_l])
+        denom = float(jnp.max(jnp.abs(flat_f))) + 1e-6
+        rel = float(jnp.max(jnp.abs(flat_f - flat_q))) / denom
+        assert rel < 0.25, f"int8 predict diverged from f32: rel={rel:.3f}"
+
+    def test_int8_export_roundtrip(self, tiny_asm, tmp_path):
+        from rtpose_tpu.export import export_predict, load_predict
+        asm, state = tiny_asm
+        x = _rand((1, *asm.input_shape_zyxc), 11, 0.5)
+        scales = calibrate_predict(asm, state.params, [x])
+        blob = export_predict(asm, state.params, batch_size=1,
+                              platforms=("cpu",), int8_scales=scales)
+        live = jax.jit(make_predict_fn(asm, state.params,
+                                       int8_scales=scales))(x)
+        out = load_predict(blob)(x)
+        for a, b in zip(jax.tree.leaves(live), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
