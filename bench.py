@@ -102,6 +102,7 @@ def measure_pipeline(np, B=8, epochs=2):
     from rtpose_tpu.core.decode import post_process_pose
     from rtpose_tpu.data import BatchLoader
     from rtpose_tpu.engine import make_eval_step
+    from rtpose_tpu.engine.evaluator import device_prefetch
 
     cfg = Config.fromfile(os.path.join(os.path.dirname(__file__),
                                        "configs/cruw_pose/hr3d_one_hm_doppler.py"))
@@ -115,54 +116,84 @@ def measure_pipeline(np, B=8, epochs=2):
     eval_jit = jax.jit(make_eval_step(asm.model, asm.head, asm.decode_spec,
                                       sparse=True))
 
-    def one_epoch(run_model):
-        loader = BatchLoader(ds, batch_size=B, shuffle=False, drop_last=False)
+    def one_epoch(dataset=ds, eval_fn=eval_jit):
+        """Full eval pipeline pass through the production path: threaded
+        host loader -> double-buffered H2D (device_prefetch, so transfer of
+        batch k+1 overlaps batch k's compute) -> jitted forward+decode ->
+        host post-processing."""
+        loader = BatchLoader(dataset, batch_size=B, shuffle=False,
+                             drop_last=False)
         frames = 0
         last = None
-        for batch in loader:
+        for batch in device_prefetch(loader):
             valid = int(batch["valid"])
             metas = batch["meta"][:valid]
-            # explicit batched H2D (the evaluator's shard_batch path): letting
-            # jit ingest numpy per-argument is pathologically slow over the
-            # tunnel transport
-            dev = {k: jax.device_put(v) for k, v in batch.items()
+            dev = {k: v for k, v in batch.items()
                    if k not in ("meta", "valid")}
-            if run_model:
-                per_task = eval_jit(params, dev)
-                last = per_task
-                for kpts, scores, labels in per_task:
-                    post_process_pose(kpts[:valid], scores[:valid],
-                                      labels[:valid], asm.decode_spec,
-                                      metas=metas, one_hm=True)
+            per_task = eval_fn(params, dev)
+            last = per_task
+            for kpts, scores, labels in per_task:
+                post_process_pose(kpts[:valid], scores[:valid],
+                                  labels[:valid], asm.decode_spec,
+                                  metas=metas, one_hm=True)
             frames += valid
         if last is not None:
             jax.block_until_ready(last)
         return frames
 
-    one_epoch(True)  # compile + page cache warm
+    one_epoch()  # compile + page cache warm
     t0 = time.perf_counter()
-    n = sum(one_epoch(True) for _ in range(epochs))
+    n = sum(one_epoch() for _ in range(epochs))
     pipeline_fps = n / (time.perf_counter() - t0)
 
-    # ---- per-stage split (ms/frame), warm page cache ----
+    # --device_preprocess variant: ship ROI-cropped RAW (half-size f16)
+    # cubes; cast + normalize + layout run on-chip (Pallas fused preprocess)
+    dp_fps = None
+    try:
+        ds_dp = build_dataset_from_cfg(cfg.data, "test",
+                                       max_poses=asm.target_spec.max_poses,
+                                       device_preprocess=True)
+        eval_dp = jax.jit(make_eval_step(
+            asm.model, asm.head, asm.decode_spec, sparse=True,
+            preprocess=(ds_dp.norm_start, ds_dp.norm_scale)))
+        one_epoch(ds_dp, eval_dp)  # compile warm
+        t0 = time.perf_counter()
+        n_dp = sum(one_epoch(ds_dp, eval_dp) for _ in range(epochs))
+        dp_fps = n_dp / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# device-preprocess pipeline skipped: {e!r:.120}",
+              file=sys.stderr)
+
+    # ---- per-stage split (ms/frame) ----
+    # Stages are measured independently and DISJOINTLY (no subtraction: the
+    # native fused loader reads only the ROI slice of each .npy, so
+    # "full-file read time" is not a component of the sample load and
+    # subtracting it produced a negative stage in round 3).  The page cache
+    # is warmed for every probe file first, untimed, so read probes and
+    # load probes see the same cache state.
     stages = {}
     n_probe = min(len(ds), 16)
 
-    t0 = time.perf_counter()                      # 1. disk read (raw bytes)
-    nbytes = 0
-    for i in range(n_probe):
+    def probe_path(i):
         s = ds.samples[i]
-        p = os.path.join(ds.root_dir, ds.seq_id_to_name[s["seq"]],
-                         ds.rdr_dirname, f"{s['rdr_frame']}.npy")
-        with open(p, "rb") as f:
-            nbytes += len(f.read())
-    stages["disk read"] = (time.perf_counter() - t0) / n_probe
+        return os.path.join(ds.root_dir, ds.seq_id_to_name[s["seq"]],
+                            ds.rdr_dirname, f"{s['rdr_frame']}.npy")
 
-    t0 = time.perf_counter()                      # 2. decode+crop+normalize
+    nbytes = 0
+    for i in range(n_probe):                      # warm page cache, untimed
+        with open(probe_path(i), "rb") as f:
+            nbytes += len(f.read())
+
+    t0 = time.perf_counter()       # full-file read (informational: the
+    for i in range(n_probe):       # loader itself reads only the ROI slice)
+        with open(probe_path(i), "rb") as f:
+            f.read()
+    raw_read = (time.perf_counter() - t0) / n_probe
+
+    t0 = time.perf_counter()       # 1. host load (read+decode+crop+norm)
     for i in range(n_probe):
         ds[i]
-    stages["host decode+crop"] = (time.perf_counter() - t0) / n_probe \
-        - stages["disk read"]
+    stages["host load"] = (time.perf_counter() - t0) / n_probe
 
     items = [ds[i] for i in range(min(B, n_probe))]
     hb = {k: np.stack([it[k] for it in items]) for k in
@@ -190,10 +221,15 @@ def measure_pipeline(np, B=8, epochs=2):
                               metas=metas, one_hm=True)
     stages["host post"] = (time.perf_counter() - t0) / (3 * len(items))
 
+    for k, v in stages.items():     # a corrupted split must fail loudly
+        assert v >= 0.0, f"negative stage time: {k} = {v}"
     worst = max(stages, key=stages.get)
     detail = ", ".join(f"{k} {1e3 * v:.1f}" for k, v in stages.items())
-    print(f"# pipeline sustained: {pipeline_fps:.0f} frames/s; per-stage "
-          f"ms/frame: {detail} -> bottleneck: {worst} "
+    dp_msg = (f"; with --device_preprocess: {dp_fps:.0f} frames/s"
+              if dp_fps else "")
+    print(f"# pipeline sustained: {pipeline_fps:.0f} frames/s{dp_msg}; "
+          f"per-stage ms/frame: {detail} (full-file read {1e3 * raw_read:.1f}, "
+          f"warm cache) -> bottleneck: {worst} "
           f"({1e3 * stages[worst]:.1f} ms/frame; NOTE 1-core host — host "
           f"stages parallelize ~linearly with cores on real TPU-VM hosts)",
           file=sys.stderr)
@@ -346,11 +382,86 @@ def main():
         results[B] = fps
         print(f"# batch={B}: {fps:.1f} frames/s ({1000 * per_iter:.2f} ms/fwd)",
               file=sys.stderr)
+    best_bf16 = max(results.values())
+
+    # ---- int8 serving path (v5e MXU int8 = 2x bf16 rate) ----
+    # Same chained-scan harness; tracing under int8_mode dispatches every
+    # non-excluded conv to the int8 kernel (ops/quant.py).  Scales come from
+    # a random-cube calibration — the throughput is scale-independent.
+    int8_best = None
+    try:
+        from rtpose_tpu.ops import quant
+        xcal = jax.device_put(
+            np.random.default_rng(1).random((8, z, y, x, c), np.float32))
+        scales = quant.calibration_scales(
+            lambda b: model.apply(params, b, method="predict_sparse"), [xcal])
+        with quant.int8_mode(scales):
+            int8_res = {}
+            for B in (8, 32):
+                fps8, per8 = measure(B)
+                int8_res[B] = fps8
+                print(f"# int8 batch={B}: {fps8:.1f} frames/s "
+                      f"({1000 * per8:.2f} ms/fwd)", file=sys.stderr)
+        int8_best = max(int8_res.values())
+        print(f"# int8 vs bf16: {int8_best / best_bf16:.2f}x "
+              f"({len(scales)} quantized convs)", file=sys.stderr)
+    except Exception as e:
+        print(f"# int8 bench skipped: {e!r:.200}", file=sys.stderr)
 
     try:
-        report_mfu(asm, model, params, max(results.values()), np)
+        report_mfu(asm, model, params, best_bf16, np)
     except Exception as e:
         print(f"# mfu report skipped: {e!r:.120}", file=sys.stderr)
+
+    # ---- exported-artifact latency (artifact-vs-live, batch 8) ----
+    try:
+        from rtpose_tpu.export import (export_predict, load_predict,
+                                       make_predict_fn)
+
+        def measure_fn(fn, B, k_lo=2, k_hi=6, reps=3):
+            """Chained-scan f/s for any cube->pytree predict callable."""
+            xb = jax.device_put(
+                np.random.default_rng(0).random((B, z, y, x, c), np.float32))
+            float(jnp.sum(xb[0, 0, 0, 0]))
+            def chained(K):
+                @jax.jit
+                def run(x0):
+                    def body(carry, _):
+                        leaves = jax.tree.leaves(fn(carry))
+                        d = sum(l.astype(jnp.float32).sum() for l in leaves)
+                        return carry + (d * 1e-20).astype(carry.dtype), None
+                    xK, _ = lax.scan(body, x0, None, length=K)
+                    return xK[0, 0, 0, 0, 0]
+                return run
+            ts = {}
+            for K in (k_lo, k_hi):
+                g = chained(K)
+                float(g(xb))
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    float(g(xb))
+                    best = min(best, time.perf_counter() - t0)
+                ts[K] = best
+            return B / ((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo))
+
+        live_fps = measure_fn(make_predict_fn(asm, params), 8)
+        backend = jax.default_backend()
+        art = load_predict(export_predict(asm, params, batch_size=8,
+                                          platforms=(backend,)))
+        art_fps = measure_fn(art, 8)
+        print(f"# serving artifact vs live (batch 8, full predict+decode): "
+              f"artifact {art_fps:.1f} f/s, live {live_fps:.1f} f/s",
+              file=sys.stderr)
+        if int8_best is not None:
+            art8 = load_predict(export_predict(asm, params, batch_size=8,
+                                               platforms=(backend,),
+                                               int8_scales=scales))
+            art8_fps = measure_fn(art8, 8)
+            print(f"# int8 serving artifact: {art8_fps:.1f} f/s",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# artifact bench skipped: {e!r:.200}", file=sys.stderr)
     try:
         measure_pipeline(np)
     except Exception as e:
@@ -371,7 +482,10 @@ def main():
     except Exception as e:
         print(f"# preprocess bench skipped: {e!r:.120}", file=sys.stderr)
 
-    best = max(results.values())
+    # headline = best shipped serving path (bf16, or int8 when faster — the
+    # int8 path ships end-to-end: tools/export.py --int8 + tools/test.py
+    # --exported, MPJPE delta tracked in BASELINE.md)
+    best = max([best_bf16] + ([int8_best] if int8_best else []))
     print(json.dumps({
         "metric": "radar frames/sec/chip (HRRadarPose infer)",
         "value": round(best, 1),

@@ -33,6 +33,18 @@ class DecodeSpec:
     score_threshold: float = 0.0
 
 
+def flat_argmax(v: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """First-maximal-index argmax as two cheap reduces (max, then min over
+    the matching iota).  XLA lowers ``jnp.argmax`` on TPU as a variadic
+    (value, index) reduce that runs far below reduction bandwidth; a plain
+    max followed by an equality+iota min-reduce computes the identical
+    result (first index wins ties in both forms) at full VPU rate.
+    """
+    m = jnp.max(v, axis=axis, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    return jnp.min(jnp.where(v == m, iota, v.shape[axis]), axis=axis)
+
+
 def _voxel_to_world(vox_xyz: jnp.ndarray, spec: DecodeSpec) -> jnp.ndarray:
     """(..., 3) continuous voxel coords (x, y, z) -> world meters.
 
@@ -64,12 +76,15 @@ def decode_pose_preds(hm_logits: jnp.ndarray, reg: jnp.ndarray, spec: DecodeSpec
     """
     B, Z, Y, X, C = hm_logits.shape
     K = reg.shape[-1] // 3
-    hm = jax.nn.sigmoid(hm_logits.astype(jnp.float32)).reshape(B, Z * Y * X, C)
+    logits = hm_logits.astype(jnp.float32).reshape(B, Z * Y * X, C)
     reg = reg.astype(jnp.float32).reshape(B, Z * Y * X, 3 * K)
 
-    # argmax over the flat voxel axis per class: (B, C)
-    flat_ind = jnp.argmax(hm, axis=1)
-    scores_pk = jnp.take_along_axis(hm, flat_ind[:, None, :], axis=1)[:, 0, :]  # (B, C)
+    # argmax over the flat voxel axis per class: (B, C).  Sigmoid is strictly
+    # monotonic, so the logit argmax IS the score argmax — sigmoid runs only
+    # on the C gathered peaks instead of the full volume.
+    flat_ind = flat_argmax(logits, axis=1)
+    scores_pk = jax.nn.sigmoid(
+        jnp.take_along_axis(logits, flat_ind[:, None, :], axis=1)[:, 0, :])  # (B, C)
 
     # flat index -> integer voxel (z, y, x); flat ordering is z*(Y*X)+y*X+x.
     def ind_to_vox_xyz(ind):
@@ -144,8 +159,9 @@ def decode_pose_sparse(hm_logits: jnp.ndarray, reg_at_peak: jnp.ndarray,
     """
     B, Z, Y, X, C = hm_logits.shape
     K = reg_at_peak.shape[-1] // 3
-    hm = jax.nn.sigmoid(hm_logits.astype(jnp.float32)).reshape(B, Z * Y * X, C)
-    score = jnp.take_along_axis(hm[..., 0], peak_ind[:, None], axis=1)[:, 0]
+    logits = hm_logits.astype(jnp.float32).reshape(B, Z * Y * X, C)
+    score = jax.nn.sigmoid(
+        jnp.take_along_axis(logits[..., 0], peak_ind[:, None], axis=1)[:, 0])
 
     z = (peak_ind // (Y * X)).astype(jnp.float32)
     y = ((peak_ind % (Y * X)) // X).astype(jnp.float32)

@@ -18,6 +18,35 @@ from typing import Any, Callable, Dict, Iterator, List, Optional
 import numpy as np
 
 
+def group_shard_indices(flags, batch_size: int, epoch: int, shuffle: bool,
+                        num_shards: int, shard_id: int) -> np.ndarray:
+    """Aspect-flag group batching (GroupSampler / DistributedGroupSampler
+    parity, reference ``datasets/loader/sampler.py:98-223``): within each
+    flag group, epoch-seeded shuffle and pad (by wrap-around) to a multiple
+    of ``batch_size * num_shards``; concatenate the groups, shuffle whole
+    batches, then take the per-shard contiguous slice.  Every yielded batch
+    is flag-homogeneous and all shards see the same number of batches.
+    """
+    flags = np.asarray(flags)
+    rng = np.random.default_rng(epoch)
+    per = batch_size * num_shards
+    chunks = []
+    for f in np.unique(flags):
+        idx = np.flatnonzero(flags == f)
+        if shuffle:
+            idx = rng.permutation(idx)
+        extra = (-len(idx)) % per
+        if extra:
+            idx = np.concatenate([idx, idx[:extra]])
+        chunks.append(idx)
+    batches = np.concatenate(chunks).reshape(-1, batch_size)
+    if shuffle:
+        batches = batches[rng.permutation(len(batches))]
+    indices = batches.reshape(-1)
+    num_samples = len(indices) // num_shards
+    return indices[shard_id * num_samples: (shard_id + 1) * num_samples]
+
+
 def shard_indices(n: int, epoch: int, shuffle: bool, num_shards: int,
                   shard_id: int, drop_last: bool) -> np.ndarray:
     """Epoch-seeded global permutation, padded to a multiple of num_shards,
@@ -48,6 +77,10 @@ class BatchLoader:
     """
 
     LIST_KEYS = ("hm", "ind", "mask", "cat", "anno_pose")
+    # fused-epoch training (Trainer.train_epoch_fused) needs the whole
+    # dataset resident in HBM; host-path loaders fall back to the
+    # per-step loop
+    supports_fused_epochs = False
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: Optional[bool] = None, num_shards: int = 1,
@@ -89,6 +122,13 @@ class BatchLoader:
         return (per_shard + self.batch_size - 1) // self.batch_size
 
     def _indices(self) -> np.ndarray:
+        flags = getattr(self.dataset, "flag", None)
+        if flags is not None:
+            # datasets exposing an aspect-group `flag` array get
+            # flag-homogeneous batches (reference GroupSampler semantics)
+            return group_shard_indices(flags, self.batch_size,
+                                       self.seed + self.epoch, self.shuffle,
+                                       self.num_shards, self.shard_id)
         return shard_indices(len(self.dataset), self.seed + self.epoch,
                              self.shuffle, self.num_shards, self.shard_id,
                              self.drop_last)
@@ -209,6 +249,10 @@ class DeviceCachedLoader:
     semantics via ``shard_indices``); batches carry jax arrays plus the
     'meta' list and 'valid' count.
     """
+
+    # the whole dataset lives in HBM (``data``/``_shapes``/``_orig_dtype``
+    # feed make_epoch_step) — the one loader the fused-epoch scan can run on
+    supports_fused_epochs = True
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: Optional[bool] = None, num_shards: int = 1,
@@ -333,6 +377,8 @@ class StreamingDeviceLoader:
     by repeats; ``valid`` carries the real count, contiguous-prefix only in
     the unshuffled case).
     """
+
+    supports_fused_epochs = False  # only one chunk is resident at a time
 
     def __init__(self, dataset, batch_size: int, chunk_bytes: int,
                  shuffle: bool = True, seed: int = 0, cache_dtype=None,

@@ -137,34 +137,73 @@ class Preprocess:
 class Voxelization:
     """Host-side voxelization pipeline (pose.py:52-142 parity) over the
     fixed-shape jnp voxelizer; pads/truncates the point list to a static
-    length first (TPU fixed shapes)."""
+    length first (TPU fixed shapes).
+
+    Reference behaviors carried:
+
+    * ``max_voxel_num`` int or [train, test] — TRAIN items voxelize under
+      the train cap, everything else under the test cap (pose.py:74-78;
+      an int means the same cap for both).  Fixed-shape consequence: eval
+      executables compile at the test cap's shape.
+    * ``double_flip`` — at test time, additionally voxelize the y-flipped /
+      x-flipped / double-flipped point sets into ``{y,x,double_}flip_*``
+      keys (pose.py:95-135).  The reference fork trimmed out the upstream
+      producer of the flipped point sets (no ``yflip_points`` writer exists
+      there — double_flip=True would crash it), so this stage produces them
+      itself with CenterPoint's semantics: y-flip negates y, x-flip negates
+      x, double-flip negates both.
+    """
+
+    _FLIPS = (("yflip", (False, True)), ("xflip", (True, False)),
+              ("double_flip", (True, True)))
 
     def __init__(self, cfg=None, **kwargs):
         from ..ops.voxelize import VoxelizerSpec
         cfg = cfg or {}
         max_voxels = cfg.get("max_voxel_num", 20000)
-        if isinstance(max_voxels, (list, tuple)):
-            max_voxels = max_voxels[0]
-        self.spec = VoxelizerSpec(
-            pc_range=tuple(cfg["range"]),
-            voxel_size=tuple(cfg["voxel_size"]),
-            max_points=int(cfg.get("max_points_in_voxel", 35)),
-            max_voxels=int(max_voxels))
+        if not isinstance(max_voxels, (list, tuple)):
+            max_voxels = [max_voxels, max_voxels]
+        self.double_flip = bool(cfg.get("double_flip", False))
+
+        def spec(cap):
+            return VoxelizerSpec(
+                pc_range=tuple(cfg["range"]),
+                voxel_size=tuple(cfg["voxel_size"]),
+                max_points=int(cfg.get("max_points_in_voxel", 35)),
+                max_voxels=int(cap))
+
+        self.train_spec = spec(max_voxels[0])
+        self.test_spec = spec(max_voxels[1])
+        self.spec = self.train_spec  # back-compat alias
         self.max_num_points = int(cfg.get("max_num_points", 65536))
+
+    def _voxelize(self, pts: np.ndarray, spec) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+        from ..ops.voxelize import voxelize
+        n = min(len(pts), self.max_num_points)
+        padded = np.zeros((self.max_num_points, pts.shape[1]), np.float32)
+        padded[:n] = pts[:n]
+        out = voxelize(jnp.asarray(padded), jnp.int32(n), spec)
+        return dict(voxels=np.asarray(out["voxels"]),
+                    coordinates=np.asarray(out["coors"]),
+                    num_points_per_voxel=np.asarray(out["num_points_per_voxel"]),
+                    num_voxels=np.asarray(out["num_voxels"]))
 
     def __call__(self, item, info=None):
         if "points" not in item:
             return item
-        import jax.numpy as jnp
-        from ..ops.voxelize import voxelize
+        train = item.get("mode") == "train"
+        spec = self.train_spec if train else self.test_spec
         pts = np.asarray(item["points"], np.float32)
-        n = min(len(pts), self.max_num_points)
-        padded = np.zeros((self.max_num_points, pts.shape[1]), np.float32)
-        padded[:n] = pts[:n]
-        out = voxelize(jnp.asarray(padded), jnp.int32(n), self.spec)
-        item["voxels"] = np.asarray(out["voxels"])
-        item["coordinates"] = np.asarray(out["coors"])
-        item["num_points_per_voxel"] = np.asarray(out["num_points_per_voxel"])
-        item["num_voxels"] = np.asarray(out["num_voxels"])
-        item["grid_zyx"] = self.spec.grid_size_zyx
+        item.update(self._voxelize(pts, spec))
+        item["grid_zyx"] = spec.grid_size_zyx
+        if self.double_flip and not train:
+            for prefix, (flip_x, flip_y) in self._FLIPS:
+                fp = pts.copy()
+                if flip_x:
+                    fp[:, 0] = -fp[:, 0]
+                if flip_y:
+                    fp[:, 1] = -fp[:, 1]
+                for k, v in self._voxelize(fp, spec).items():
+                    item[f"{prefix}_{k}"] = v
         return item

@@ -88,6 +88,9 @@ class Trainer:
         os.makedirs(self.work_dir, exist_ok=True)
         self.logger = logger or get_root_logger(work_dir=self.work_dir)
         self.mesh = mesh or make_mesh()
+        # host-side mirror of state.step: emit_log must not pay a blocking
+        # device fetch per log interval (the deferred-fetch design)
+        self._host_step = int(jax.device_get(state.step))
         self.state = replicate(state, self.mesh)
         self._raw_train_step = train_step
         self.train_step = jax.jit(train_step, donate_argnums=0)
@@ -140,10 +143,11 @@ class Trainer:
 
     def resume(self, path: str):
         self.state, meta = load_checkpoint(path, jax.device_get(self.state))
+        self._host_step = int(self.state.step)
         self.state = replicate(self.state, self.mesh)
         self.epoch = int(meta.get("epoch", 0))
         self.logger.info(f"resumed from {path}: epoch {self.epoch}, "
-                         f"step {int(self.state.step)}")
+                         f"step {self._host_step}")
 
     def run(self, train_loader, val_loader=None, workflow=(("train", 1),),
             eval_fn: Optional[Callable] = None):
@@ -218,10 +222,12 @@ class Trainer:
 
     def train_epoch(self, loader):
         if (self.fuse_epochs
-                and hasattr(loader, "data") and hasattr(loader, "_shapes")
+                and getattr(loader, "supports_fused_epochs", False)
                 and loader.batch_size % self.mesh.devices.size == 0
                 and len(loader._indices()) >= len(loader) * loader.batch_size):
-            # the fused scan reshapes idx[:n*bs] -> (n, bs) with no
+            # supports_fused_epochs is the loaders' explicit capability flag
+            # (only DeviceCachedLoader: the whole set must be HBM-resident).
+            # The fused scan also reshapes idx[:n*bs] -> (n, bs) with no
             # padding/valid handling; a shuffle=False non-divisible dataset
             # (drop_last False) falls back to the per-step loop
             return self.train_epoch_fused(loader)
@@ -239,6 +245,7 @@ class Trainer:
             batch = shard_batch(host_batch, self.mesh)
             t_xfer = time.perf_counter()
             self.state, metrics = self.train_step(self.state, batch)
+            self._host_step += 1
             self._pending.append(metrics)
             t_done = time.perf_counter()
             self.timings = {
@@ -284,6 +291,7 @@ class Trainer:
         self._epoch_t0 = t0
         self.state, ms = self._epoch_jit(self.state, loader.data,
                                          jax.device_put(idx))
+        self._host_step += n
         host = {k: np.asarray(v) for k, v in jax.device_get(
             {k: v for k, v in ms.items() if k != "loc_loss_elem"}).items()}
         per_iter = (time.perf_counter() - t0) / max(n, 1)
@@ -331,7 +339,7 @@ class Trainer:
 
     def emit_log(self, it: int, n: int):
         out = dict(self.log_buffer.output)
-        step = int(self.state.step)
+        step = self._host_step
         elapsed = time.perf_counter() - self._epoch_t0
         eta = (n - it) * (elapsed / max(it, 1)) + \
             (self.total_epochs - self.epoch - 1) * n * (elapsed / max(it, 1))

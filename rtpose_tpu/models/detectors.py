@@ -156,10 +156,12 @@ class RadarPoseNet(nn.Module):
         Supports the single-task, single-peak (one_hm) configuration.
         Returns (hm (B, Z, Y, X, C) logits, reg_at_peak (B, D), peak_ind (B,)).
         """
+        from ..core.decode import flat_argmax
+
         feat = self.extract_feat(rdr_tensor)
         hm = self.head_m(feat, branch="hm")[0]["hm"]         # (B, Z, Y, X, C)
         B, Z, Y, X, C = hm.shape
-        flat = jnp.argmax(hm.reshape(B, -1, C)[..., 0], axis=1)  # pelvis class
+        flat = flat_argmax(hm.reshape(B, -1, C)[..., 0])     # pelvis class
         z = flat // (Y * X)
         y = (flat % (Y * X)) // X
         x = flat % X

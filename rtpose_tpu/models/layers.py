@@ -65,12 +65,20 @@ class TorchConv3d(nn.Module):
             x = x.astype(dt)
         q = quant_ops.current()
         if q is not None:
-            path = "/".join(self.path)
+            # flax Module.path is () for a root-applied module; fall back to
+            # the module name so scales key stably in unit-level usage too
+            path = "/".join(self.path) or (self.name or "")
             if not q.excluded(path):
                 if q.mode == "calib":
                     # traced absmax becomes a jit output of the wrapper
-                    # (ops/quant.calibration_scales); conv itself runs float
-                    q.traced[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    # (ops/quant.calibration_scales); conv itself runs float.
+                    # max-accumulate: a module applied more than once in one
+                    # forward (weight sharing) must record the range over ALL
+                    # applications, not the last one
+                    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    prev = q.traced.get(path)
+                    q.traced[path] = (absmax if prev is None
+                                      else jnp.maximum(prev, absmax))
                 elif q.mode == "int8" and path in q.scales:
                     return quant_ops.conv3d_int8(
                         x, w, b, self.stride, q.scales[path],

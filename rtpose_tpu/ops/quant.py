@@ -51,11 +51,15 @@ class QuantState:
                  exclude: tuple = ()):
         self.mode = mode                    # 'calib' | 'int8'
         self.scales = scales or {}          # path -> float (act absmax/127)
-        self.exclude = exclude              # path substrings left unquantized
+        self.exclude = exclude              # leaf-name suffixes left unquantized
         self.traced = {}                    # calib: path -> traced absmax
 
     def excluded(self, path: str) -> bool:
-        return any(s in path for s in self.exclude)
+        # match the FINAL path component by suffix: a parent module whose
+        # name merely contains an exclude string must not silently exclude
+        # its whole subtree
+        leaf = path.rsplit("/", 1)[-1]
+        return any(leaf.endswith(s) for s in self.exclude)
 
 
 def current() -> Optional[QuantState]:
@@ -103,7 +107,8 @@ def scales_from_calib(batch_maxima) -> Dict[str, float]:
 # Head output convs (SepHead names them "<branch>_out") stay float by
 # default: the hm logits feed a sigmoid+argmax and the reg values are used
 # verbatim in metric space, so their quant error lands 1:1 in the metric,
-# while they carry <2% of the FLOPs.
+# while they carry <2% of the FLOPs.  Entries match by SUFFIX of the final
+# path component only (QuantState.excluded).
 DEFAULT_EXCLUDE = ("_out",)
 
 

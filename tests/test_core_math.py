@@ -160,6 +160,30 @@ class TestDecode:
         np.testing.assert_allclose(np.asarray(kpts)[0], pose, atol=1e-4)
         assert scores[0, 0] > 0.99
 
+    def test_flat_argmax_matches_jnp_argmax(self):
+        """flat_argmax (two-reduce formulation shipped for the TPU decode
+        tail) must equal jnp.argmax everywhere, including first-index
+        tie-breaking and negative values."""
+        from rtpose_tpu.core.decode import flat_argmax
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=(4, 257, 3)).astype(np.float32)
+        # inject exact ties: duplicate each batch's max at a LATER index
+        for b in range(4):
+            m = v[b, :, 0].max()
+            v[b, 200, 0] = m
+            v[b, 220, 0] = m
+        np.testing.assert_array_equal(
+            np.asarray(flat_argmax(jnp.asarray(v), axis=1)),
+            np.argmax(v, axis=1))
+        # 2-D case (predict_sparse's (B, N) use)
+        v2 = v[..., 0]
+        np.testing.assert_array_equal(
+            np.asarray(flat_argmax(jnp.asarray(v2), axis=1)),
+            np.argmax(v2, axis=1))
+        # all-equal input: index 0 everywhere
+        ones = jnp.ones((2, 33))
+        np.testing.assert_array_equal(np.asarray(flat_argmax(ones)), [0, 0])
+
     def test_post_processing_format(self):
         kpts = jnp.zeros((2, 15, 3))
         scores = jnp.full((2, 15), 0.7)

@@ -413,3 +413,91 @@ class TestStreamingDeviceLoader:
                 state, m = step(state, dev)
                 losses.append(float(np.asarray(m["loss"])))
         assert len(losses) == 10 and np.isfinite(losses).all()
+
+
+class TestGroupSampling:
+    """Aspect-flag group batching (reference GroupSampler /
+    DistributedGroupSampler, datasets/loader/sampler.py:98-223): datasets
+    exposing a ``flag`` array get flag-homogeneous batches."""
+
+    class FlaggedDS:
+        def __init__(self, flags):
+            self.flag = np.asarray(flags)
+
+        def __len__(self):
+            return len(self.flag)
+
+        def __getitem__(self, i):
+            return {"x": np.float32(i), "meta": {"i": i}}
+
+    def test_batches_are_flag_homogeneous(self):
+        from rtpose_tpu.data.loader import group_shard_indices
+        flags = np.array([0] * 5 + [1] * 7)
+        for epoch in range(3):
+            idx = group_shard_indices(flags, batch_size=3, epoch=epoch,
+                                      shuffle=True, num_shards=1, shard_id=0)
+            assert len(idx) % 3 == 0
+            for b in idx.reshape(-1, 3):
+                assert len(set(flags[b])) == 1, "mixed-flag batch"
+            # every sample appears (padding is wrap-around, never dropping)
+            assert set(idx) == set(range(12))
+
+    def test_sharding_equal_and_disjoint_cover(self):
+        from rtpose_tpu.data.loader import group_shard_indices
+        flags = np.array([0] * 5 + [1] * 4 + [2] * 9)
+        shards = [group_shard_indices(flags, 2, epoch=1, shuffle=True,
+                                      num_shards=2, shard_id=s)
+                  for s in range(2)]
+        assert len(shards[0]) == len(shards[1])
+        union = set(shards[0]) | set(shards[1])
+        assert union == set(range(18))
+        for sh in shards:
+            for b in sh.reshape(-1, 2):
+                assert len(set(flags[b])) == 1
+
+    def test_batchloader_uses_flags(self):
+        ds = self.FlaggedDS([0] * 6 + [1] * 6)
+        loader = BatchLoader(ds, batch_size=3, shuffle=True, prefetch=0)
+        loader.set_epoch(2)
+        flags = np.asarray(ds.flag)
+        seen = []
+        for batch in loader:
+            ids = [m["i"] for m in batch["meta"]]
+            seen += ids
+            assert len(set(flags[ids])) == 1
+        assert set(seen) == set(range(12))
+
+    def test_unflagged_behavior_unchanged(self):
+        """No ``flag`` on the dataset -> the plain epoch-seeded permutation
+        (existing training trajectories must not shift)."""
+        from rtpose_tpu.data.loader import shard_indices
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return {"x": np.float32(i)}
+
+        loader = BatchLoader(DS(), batch_size=2, shuffle=True, prefetch=0)
+        loader.set_epoch(4)
+        np.testing.assert_array_equal(
+            loader._indices(), shard_indices(10, 4, True, 1, 0, True))
+
+    def test_wrappers_propagate_flags(self):
+        from rtpose_tpu.data.wrappers import ConcatDataset, RepeatDataset
+        a, b = self.FlaggedDS([0, 0, 1]), self.FlaggedDS([1, 2])
+        cat = ConcatDataset([a, b])
+        np.testing.assert_array_equal(cat.flag, [0, 0, 1, 1, 2])
+        rep = RepeatDataset(a, times=2)
+        np.testing.assert_array_equal(rep.flag, [0, 0, 1, 0, 0, 1])
+
+        class Plain:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                return {}
+
+        assert ConcatDataset([a, Plain()]).flag is None
+        assert RepeatDataset(Plain(), 2).flag is None

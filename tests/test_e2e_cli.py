@@ -165,6 +165,25 @@ class TestCLI:
                   if l.startswith("Evaluation MPJPE")]
         assert live and live == served, (live, served)
 
+        # int8 serving path end-to-end: calibrate on val batches, export a
+        # quantized artifact, evaluate through it (the accuracy delta vs the
+        # float path is measured on trained checkpoints — see BASELINE.md —
+        # not asserted on this 2-epoch model)
+        artifact8 = os.path.join(work_dir, "model_int8.jaxexp")
+        r5 = run_tool("export.py", cfg_path, "--checkpoint", work_dir,
+                      "--out", artifact8, "--platforms", "cpu",
+                      "--int8", "--calib_batches", "2")
+        assert r5.returncode == 0, r5.stderr[-4000:]
+        assert "int8 calibration" in r5.stdout
+        assert os.path.getsize(artifact8) > 0
+        r6 = run_tool("test.py", cfg_path, "--checkpoint", work_dir,
+                      "--work_dir", os.path.join(work_dir, "int8_eval"),
+                      "--testset", "--exported", artifact8)
+        assert r6.returncode == 0, r6.stderr[-4000:]
+        mpjpe8 = [l for l in r6.stdout.splitlines()
+                  if l.startswith("Evaluation MPJPE")]
+        assert mpjpe8 and np.isfinite(float(mpjpe8[0].split(":")[1]))
+
     @pytest.mark.slow
     def test_resume(self, e2e_env):
         root, cfg_path, work_dir = e2e_env

@@ -134,6 +134,8 @@ class TestHookRegistry:
 class DeviceCachedFake:
     """Minimal DeviceCachedLoader-shaped object over an in-memory batch."""
 
+    supports_fused_epochs = True  # the trainer's explicit capability gate
+
     def __init__(self, batch, n=4, bs=2):
         import jax
 
@@ -206,6 +208,75 @@ class TestFusedEpochs:
                         jax.tree.leaves(s_fused.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_fused_path_actually_taken(self, tmp_path):
+        """The capability gate must select the fused scan for a
+        fused-capable loader (guards the test above against silently
+        comparing per-iter with per-iter)."""
+        model, head, spec, GRID = tiny_model_and_spec()
+        Z, Y, X = GRID
+        rng = np.random.default_rng(0)
+        batch = {
+            "rdr_tensor": rng.normal(size=(2, Z, Y, X, 1)).astype(np.float32),
+            "poses": rng.uniform(0.3, 0.7, size=(2, 1, 15, 3)).astype(np.float32),
+            "num_poses": np.ones((2,), np.int32),
+        }
+        from rtpose_tpu.parallel import make_mesh
+        lr_fn, _ = make_one_cycle_fns(10, 1e-3)
+        opt = adam_one_cycle(lr_fn, None, weight_decay=0.0, grad_clip_norm=None)
+        state = create_train_state(model, opt, jnp.asarray(batch["rdr_tensor"]))
+        step = make_train_step(model, head, spec, opt, lr_fn=lr_fn)
+        trainer = Trainer(step, state, work_dir=str(tmp_path), total_epochs=1,
+                          lr_fn=lr_fn, mesh=make_mesh(1), log_interval=10,
+                          checkpoint_interval=10, enable_tensorboard=False,
+                          fuse_epochs=True)
+        trainer.run(DeviceCachedFake(batch))
+        assert trainer._epoch_jit is not None, "fused epoch path not taken"
+
+    def test_fallback_for_host_loaders(self, tmp_path):
+        """--fuse_epochs with a loader that cannot fuse (BatchLoader /
+        StreamingDeviceLoader: supports_fused_epochs=False) must take the
+        per-step loop, not crash (explicit capability contract — no
+        duck-typed private-attribute probing)."""
+        from rtpose_tpu.data import BatchLoader, StreamingDeviceLoader
+
+        class DS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                model, head, spec, GRID = tiny_model_and_spec()
+                Z, Y, X = GRID
+                return {
+                    "rdr_tensor": rng.normal(size=(Z, Y, X, 1)).astype(np.float32),
+                    "poses": rng.uniform(0.3, 0.7, size=(1, 15, 3)).astype(np.float32),
+                    "num_poses": np.int32(1),
+                }
+
+        assert BatchLoader.supports_fused_epochs is False
+        assert StreamingDeviceLoader.supports_fused_epochs is False
+        for loader in (
+            BatchLoader(DS(), batch_size=2, shuffle=True),
+            StreamingDeviceLoader(DS(), batch_size=2, chunk_bytes=10**9),
+        ):
+            model, head, spec, GRID = tiny_model_and_spec()
+            lr_fn, _ = make_one_cycle_fns(10, 1e-3)
+            opt = adam_one_cycle(lr_fn, None, weight_decay=0.0,
+                                 grad_clip_norm=None)
+            ex = DS()[0]["rdr_tensor"][None]
+            state = create_train_state(model, opt, jnp.asarray(ex))
+            step = make_train_step(model, head, spec, opt, lr_fn=lr_fn)
+            from rtpose_tpu.parallel import make_mesh
+            trainer = Trainer(step, state,
+                              work_dir=str(tmp_path / type(loader).__name__),
+                              total_epochs=1, lr_fn=lr_fn, mesh=make_mesh(1),
+                              log_interval=10, checkpoint_interval=10,
+                              enable_tensorboard=False, fuse_epochs=True)
+            trainer.run(loader)
+            assert trainer._epoch_jit is None, (
+                f"{type(loader).__name__} must NOT take the fused path")
+            assert int(jax.device_get(trainer.state.step)) == 2
 
 
 class TestProfilerHook:

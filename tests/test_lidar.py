@@ -102,3 +102,62 @@ class TestVoxelNet:
         g = jax.grad(loss)(params)
         gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         assert np.isfinite(gn) and gn > 0
+
+
+class TestVoxelizationStage:
+    """Pipeline-stage parity with the reference Voxelization
+    (det3d/datasets/pipelines/pose.py:52-142): train/test max_voxels caps
+    and the test-time double-flip TTA voxel sets."""
+
+    def _cfg(self, max_voxel_num, double_flip=False):
+        return dict(range=[-2.0, -2.0, -2.0, 2.0, 2.0, 2.0],
+                    voxel_size=[0.5, 0.5, 0.5], max_points_in_voxel=4,
+                    max_voxel_num=max_voxel_num, max_num_points=256,
+                    double_flip=double_flip)
+
+    def _points(self, n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-1.9, 1.9, size=(n, 3)).astype(np.float32)
+        return np.concatenate([pts, rng.random((n, 1), dtype=np.float32)], 1)
+
+    def test_train_test_caps(self):
+        """mode='train' voxelizes under max_voxel_num[0], everything else
+        under max_voxel_num[1] (pose.py:74-78)."""
+        from rtpose_tpu.data.pipelines import Voxelization
+        stage = Voxelization(cfg=self._cfg([8, 16]))
+        tr = stage({"points": self._points(), "mode": "train"})
+        te = stage({"points": self._points(), "mode": "test"})
+        assert tr["voxels"].shape[0] == 8
+        assert te["voxels"].shape[0] == 16
+        # an int cap applies to both modes (reference [n, n] promotion)
+        stage_i = Voxelization(cfg=self._cfg(12))
+        assert stage_i({"points": self._points(), "mode": "train"})[
+            "voxels"].shape[0] == 12
+        assert stage_i({"points": self._points(), "mode": "test"})[
+            "voxels"].shape[0] == 12
+
+    def test_double_flip_sets(self):
+        """Test mode + double_flip=True adds {y,x,double_flip}-flipped voxel
+        sets; each matches voxelizing the manually-flipped point cloud.
+        Train mode never produces them (pose.py:95)."""
+        from rtpose_tpu.data.pipelines import Voxelization
+        stage = Voxelization(cfg=self._cfg(32, double_flip=True))
+        pts = self._points(60, seed=1)
+        te = stage({"points": pts.copy(), "mode": "test"})
+        for prefix, (fx, fy) in (("yflip", (False, True)),
+                                 ("xflip", (True, False)),
+                                 ("double_flip", (True, True))):
+            assert f"{prefix}_voxels" in te
+            fp = pts.copy()
+            if fx:
+                fp[:, 0] = -fp[:, 0]
+            if fy:
+                fp[:, 1] = -fp[:, 1]
+            ref = stage._voxelize(fp, stage.test_spec)
+            np.testing.assert_array_equal(te[f"{prefix}_coordinates"],
+                                          ref["coordinates"])
+            np.testing.assert_allclose(te[f"{prefix}_voxels"], ref["voxels"])
+            assert int(te[f"{prefix}_num_voxels"]) == int(ref["num_voxels"])
+        tr = stage({"points": pts.copy(), "mode": "train"})
+        assert not any(k.startswith(("yflip", "xflip", "double_flip"))
+                       for k in tr)

@@ -76,7 +76,11 @@ class TestInt8Conv:
             out = m.apply(params, xin)
         tol = 0.03 * float(jnp.max(jnp.abs(ref))) + 1e-6
         assert out.shape == ref.shape
-        assert float(jnp.max(jnp.abs(out - ref))) < tol
+        diff = float(jnp.max(jnp.abs(out - ref)))
+        assert diff < tol
+        # positive proof the int8 path actually ran: 8-bit rounding of both
+        # operands cannot reproduce the float result bit-exactly
+        assert diff > 0.0, "int8 dispatch fell through to the float path"
 
     def test_unscaled_path_falls_through_to_float(self):
         x = _rand((1, 4, 4, 8, 8), 7)

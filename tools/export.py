@@ -29,7 +29,41 @@ def parse_args():
                    help="static serving batch size")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization: calibrate "
+                        "activation scales on real data, then bake the "
+                        "int8-quantized program into the artifact (2x MXU "
+                        "rate on v5e; head output convs stay float)")
+    p.add_argument("--calib_batches", type=int, default=8,
+                   help="number of calibration batches for --int8")
+    p.add_argument("--calib_split", default="val", choices=("train", "val", "test"),
+                   help="dataset split the calibration batches come from")
     return p.parse_args()
+
+
+def collect_calib_batches(cfg, asm, batch_size: int, n_batches: int,
+                          split: str):
+    """Model inputs for activation calibration: the first N batches of the
+    given split through the SAME host path the eval loader uses."""
+    from rtpose_tpu.api import build_dataset_from_cfg
+    from rtpose_tpu.data import BatchLoader
+    from rtpose_tpu.engine.steps import VOXEL_KEYS
+
+    dataset = build_dataset_from_cfg(cfg.data, split,
+                                     max_poses=asm.target_spec.max_poses)
+    loader = BatchLoader(dataset, batch_size=batch_size, shuffle=False,
+                         drop_last=False)
+    batches = []
+    for batch in loader:
+        if asm.input_key is not None:
+            batches.append(batch[asm.input_key])
+        else:
+            batches.append({k: batch[k] for k in VOXEL_KEYS})
+        if len(batches) >= n_batches:
+            break
+    if not batches:
+        raise SystemExit(f"--int8: no calibration data in split {split!r}")
+    return batches
 
 
 def main():
@@ -53,14 +87,24 @@ def main():
     template = create_train_state(asm.model, dummy_opt, asm.example_input())
     state, _ = load_checkpoint(args.checkpoint, template)
 
+    int8_scales = None
+    if args.int8:
+        from rtpose_tpu.export import calibrate_predict
+        batches = collect_calib_batches(cfg, asm, args.batch_size,
+                                        args.calib_batches, args.calib_split)
+        int8_scales = calibrate_predict(asm, state.params, batches)
+        print(f"int8 calibration: {len(int8_scales)} conv scales from "
+              f"{len(batches)} x batch-{args.batch_size} "
+              f"{args.calib_split} batches")
+
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     blob = export_predict(asm, state.params, batch_size=args.batch_size,
-                          platforms=platforms)
+                          platforms=platforms, int8_scales=int8_scales)
     save_exported(args.out, blob)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"exported {args.out}: {len(blob) / 1e6:.2f} MB, "
           f"batch={args.batch_size}, platforms={','.join(platforms)}, "
-          f"params={n_params}")
+          f"params={n_params}" + (", int8" if int8_scales else ""))
 
 
 if __name__ == "__main__":

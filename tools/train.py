@@ -221,7 +221,8 @@ def main():
         val_loader = BatchLoader(val_dataset, batch_size=per_host_bs,
                                  shuffle=False, drop_last=False,
                                  num_shards=process_count(),
-                                 shard_id=process_index())
+                                 shard_id=process_index(),
+                                 num_workers=int(cfg.data.get("workers_per_gpu", 0)))
 
         from rtpose_tpu.engine import make_eval_step, run_eval
         eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
