@@ -68,6 +68,28 @@ class Assembly:
         )
 
 
+def serving_variant(asm: Assembly, final_dtype) -> Assembly:
+    """Assembly copy whose head OUTPUT convs compute in ``final_dtype``
+    (e.g. ``'bfloat16'``) — the serving-side form of the
+    ``CenterHead.final_dtype`` knob.
+
+    The override rebuilds the detector/head modules from a copied
+    ``model_cfg``; parameters are untouched (conv ``dtype`` is a compute
+    dtype — params stay f32), so trained checkpoints apply verbatim.
+    Keeping the override OUT of the training configs is deliberate: basin
+    selection in this model is decided by reassociation-level numerics
+    (BASELINE.md round-3 GN-lowering bisect), so training keeps f32 head
+    outputs while serving trades ~0.4% logit precision for the
+    lane-starved f32 out-conv time.
+    """
+    import copy
+    cfg = copy.deepcopy(asm.model_cfg)
+    cfg["pose_head"]["final_dtype"] = final_dtype
+    head_kwargs = {k: v for k, v in cfg["pose_head"].items() if k != "type"}
+    return dataclasses.replace(asm, model=build_detector(cfg),
+                               head=CenterHead(**head_kwargs), model_cfg=cfg)
+
+
 def input_channels(dataset_cfg: Dict[str, Any]) -> int:
     """Channel count from RDR_TYPE (SURVEY.md §2.2 config table)."""
     rdr_type = dataset_cfg.get("RDR_TYPE", "zyx_real")

@@ -29,7 +29,8 @@ from .ops import quant
 
 def make_predict_fn(asm, params, preprocess: Optional[tuple] = None,
                     int8_scales: Optional[dict] = None,
-                    int8_exclude: tuple = quant.DEFAULT_EXCLUDE):
+                    int8_exclude: tuple = quant.DEFAULT_EXCLUDE,
+                    final_dtype=None):
     """The serving closure: ``model_input -> decoded predictions``.
 
     ``model_input`` is the normalized radar cube (B, Z, Y, X, C) for dense
@@ -41,7 +42,13 @@ def make_predict_fn(asm, params, preprocess: Optional[tuple] = None,
     non-excluded conv to the MXU int8 path (2x bf16 rate on v5e) — the
     quant context is entered per call so it is active at trace time
     wherever the closure is jitted or exported.
+
+    ``final_dtype`` (e.g. ``'bfloat16'``) overrides the head output convs'
+    compute dtype on the serving path only (:func:`..api.serving_variant`).
     """
+    if final_dtype is not None:
+        from .api import serving_variant
+        asm = serving_variant(asm, final_dtype)
     eval_step = make_eval_step(asm.model, asm.head, asm.decode_spec,
                                input_key=asm.input_key,
                                sparse=asm.sparse_head,
@@ -64,12 +71,14 @@ def make_predict_fn(asm, params, preprocess: Optional[tuple] = None,
 
 
 def calibrate_predict(asm, params, batches, preprocess: Optional[tuple] = None,
-                      exclude: tuple = quant.DEFAULT_EXCLUDE) -> dict:
+                      exclude: tuple = quant.DEFAULT_EXCLUDE,
+                      final_dtype=None) -> dict:
     """Activation-scale calibration for the int8 predict path: one jitted
     forward per batch over the SAME graph served by :func:`make_predict_fn`.
     ``batches`` yields model inputs (cubes, or voxel sub-dicts for lidar).
     """
-    predict = make_predict_fn(asm, params, preprocess=preprocess)
+    predict = make_predict_fn(asm, params, preprocess=preprocess,
+                              final_dtype=final_dtype)
     return quant.calibration_scales(predict, batches, exclude=exclude)
 
 
@@ -82,18 +91,21 @@ def export_predict(asm, params, batch_size: int = 1,
                    platforms: Sequence[str] = ("cpu", "tpu"),
                    preprocess: Optional[tuple] = None,
                    int8_scales: Optional[dict] = None,
-                   int8_exclude: tuple = quant.DEFAULT_EXCLUDE) -> bytes:
+                   int8_exclude: tuple = quant.DEFAULT_EXCLUDE,
+                   final_dtype=None) -> bytes:
     """Lower + serialize the predict path for the given static batch size.
 
     ``platforms`` lists every backend the artifact must run on;
     cross-platform lowering happens on whatever host runs the export (no
     TPU needed to produce a TPU artifact).  With ``int8_scales`` the
     artifact carries the int8-quantized program (weights already rounded,
-    scales baked in as constants).
+    scales baked in as constants); ``final_dtype`` bakes bf16 head output
+    convs in (serving-only override, see :func:`make_predict_fn`).
     """
     predict = make_predict_fn(asm, params, preprocess=preprocess,
                               int8_scales=int8_scales,
-                              int8_exclude=int8_exclude)
+                              int8_exclude=int8_exclude,
+                              final_dtype=final_dtype)
     exp = jax.export.export(jax.jit(predict), platforms=list(platforms))(
         _input_spec(asm, batch_size))
     return exp.serialize()

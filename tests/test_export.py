@@ -83,6 +83,55 @@ class TestExport:
             predict(bad)
 
 
+class TestServingFinalDtype:
+    """serving_variant(asm, 'bfloat16'): head OUTPUT convs compute in bf16
+    on the serving path only (the serving-side form of the
+    CenterHead.final_dtype knob, models/center_head.py)."""
+
+    def test_variant_params_apply_verbatim(self, tiny_asm):
+        asm, state = tiny_asm
+        from rtpose_tpu.api import serving_variant
+        var = serving_variant(asm, "bfloat16")
+        # rebuild is cfg-level: original asm untouched, override recorded
+        assert "final_dtype" not in asm.model_cfg["pose_head"]
+        assert var.model_cfg["pose_head"]["final_dtype"] == "bfloat16"
+
+        x = jnp.asarray(np.random.default_rng(2)
+                        .normal(size=(1, *asm.input_shape_zyxc))
+                        .astype(np.float32))
+        f32 = make_predict_fn(asm, state.params)(x)
+        b16 = make_predict_fn(var, state.params)(x)  # same params, no reinit
+        f32_l, b16_l = jax.tree.leaves(f32), jax.tree.leaves(b16)
+        assert len(f32_l) == len(b16_l) > 0
+        # close (bf16 has ~8 mantissa bits) but NOT identical — the override
+        # must actually reach the head out-convs
+        deltas = [float(np.abs(np.asarray(a, np.float64)
+                               - np.asarray(b, np.float64)).max())
+                  for a, b in zip(f32_l, b16_l)]
+        for a, b in zip(f32_l, b16_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.1, atol=0.1)
+        assert max(deltas) > 0.0
+
+    def test_export_final_dtype_roundtrip(self, tiny_asm, tmp_path):
+        asm, state = tiny_asm
+        from rtpose_tpu.api import serving_variant
+        var = serving_variant(asm, "bfloat16")
+        x = jnp.asarray(np.random.default_rng(3)
+                        .normal(size=(1, *asm.input_shape_zyxc))
+                        .astype(np.float32))
+        live = jax.jit(make_predict_fn(var, state.params))(x)
+        blob = export_predict(asm, state.params, batch_size=1,
+                              platforms=("cpu",), final_dtype="bfloat16")
+        out = load_predict(blob)(x)
+        # bf16 compute in the graph: jit fusion order may differ between the
+        # live executable and the deserialized artifact — allow bf16-level
+        # slack (the f32 paths above pin exactness)
+        for a, b in zip(jax.tree.leaves(live), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=0.05)
+
+
 class TestExportMultiPose:
     def test_multipose_artifact_matches_live(self, tmp_path_factory):
         """max_poses=2 configs export the top-P decode path; artifact output

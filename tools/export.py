@@ -38,6 +38,11 @@ def parse_args():
                    help="number of calibration batches for --int8")
     p.add_argument("--calib_split", default="val", choices=("train", "val", "test"),
                    help="dataset split the calibration batches come from")
+    p.add_argument("--final_dtype", default=None,
+                   choices=("bfloat16", "float32"),
+                   help="compute dtype of the head OUTPUT convs in the "
+                        "artifact (serving-only override; training keeps "
+                        "f32 head outputs)")
     return p.parse_args()
 
 
@@ -92,14 +97,16 @@ def main():
         from rtpose_tpu.export import calibrate_predict
         batches = collect_calib_batches(cfg, asm, args.batch_size,
                                         args.calib_batches, args.calib_split)
-        int8_scales = calibrate_predict(asm, state.params, batches)
+        int8_scales = calibrate_predict(asm, state.params, batches,
+                                        final_dtype=args.final_dtype)
         print(f"int8 calibration: {len(int8_scales)} conv scales from "
               f"{len(batches)} x batch-{args.batch_size} "
               f"{args.calib_split} batches")
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     blob = export_predict(asm, state.params, batch_size=args.batch_size,
-                          platforms=platforms, int8_scales=int8_scales)
+                          platforms=platforms, int8_scales=int8_scales,
+                          final_dtype=args.final_dtype)
     save_exported(args.out, blob)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"exported {args.out}: {len(blob) / 1e6:.2f} MB, "

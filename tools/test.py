@@ -31,6 +31,11 @@ def parse_args():
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the whole eval "
                         "into <work_dir>/profile")
+    p.add_argument("--final_dtype", default=None,
+                   choices=("bfloat16", "float32"),
+                   help="override the head OUTPUT convs' compute dtype for "
+                        "this eval (serving-side knob — measures the "
+                        "accuracy delta of bf16 head outputs)")
     p.add_argument("--exported", default=None, metavar="ARTIFACT",
                    help="evaluate a serving artifact (tools/export.py) "
                         "instead of the live model: parameters come baked "
@@ -63,6 +68,14 @@ def main():
     work_dir = args.work_dir or os.path.dirname(os.path.abspath(args.checkpoint))
     logger = get_root_logger(cfg.get("log_level", "INFO"))
     asm = assemble(cfg)
+    if args.final_dtype:
+        if args.exported:
+            raise SystemExit("--final_dtype applies to the live model; "
+                             "exported artifacts bake their own "
+                             "(tools/export.py --final_dtype)")
+        from rtpose_tpu.api import serving_variant
+        asm = serving_variant(asm, args.final_dtype)
+        logger.info(f"head output convs overridden to {args.final_dtype}")
 
     split = "test" if args.testset else "val"
     print("Use Test Set" if args.testset else "Use Val Set")
