@@ -127,6 +127,15 @@ class CRUWPoseDataset:
             roi_type = ds["RDR_CUBE"].get("ROI_TYPE", ds["LABEL"].get("ROI_TYPE"))
             roi = {k: list(v) for k, v in ds["ROI"][roi_type].items()}
         self.geom = CubeGeometry.from_roi(roi)
+        # DIR.CUBES_ARE_ROI (TPU-framework extension, no reference analog):
+        # the on-disk cubes hold ONLY the ROI region (written by
+        # tools/gen_skel_data.py --roi_only at ~6x less disk) — world
+        # geometry is unchanged, the load-time crop becomes identity
+        if ds["DIR"].get("CUBES_ARE_ROI", False):
+            gz, gy, gx = self.geom.grid_zyx
+            self.cube_roi_idx = (0, gz - 1, 0, gy - 1, 0, gx - 1)
+        else:
+            self.cube_roi_idx = self.geom.roi_idx
 
         nv_key = "DZYX" if self.with_doppler else "RDR_CUBE"
         n0, n1 = [float(v) for v in ds[nv_key]["NORMALIZING_VALUE"]]
@@ -193,7 +202,7 @@ class CRUWPoseDataset:
             # (2, D, Z, Y, X) complex-as-channels (get_cube_phase parity,
             # cruw_pose.py:188-194: data pre-normalized, crop only)
             arr = np.load(path).astype(np.float32)
-            z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
+            z0, z1, y0, y1, x0, x1 = self.cube_roi_idx
             arr = arr[:, :, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
             arr = arr.reshape(-1, *arr.shape[2:])         # (2D, Z, Y, X)
             return np.ascontiguousarray(np.transpose(arr, (1, 2, 3, 0)))
@@ -201,13 +210,13 @@ class CRUWPoseDataset:
             from .. import native
             probe = native.probe(path)
             if probe is not None and probe[0][0] > 0:
-                out = native.load_cube(path, self.geom.roi_idx,
+                out = native.load_cube(path, self.cube_roi_idx,
                                        self.norm_start, self.norm_scale,
                                        probe[0][0], self.geom.grid_zyx)
                 if out is not None:
                     return out
         arr = np.load(path).astype(np.float32)
-        z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
+        z0, z1, y0, y1, x0, x1 = self.cube_roi_idx
         if self.with_doppler:
             arr = arr[:, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
             arr = np.transpose(arr, (1, 2, 3, 0))     # (Z, Y, X, D)
@@ -224,7 +233,7 @@ class CRUWPoseDataset:
         path = os.path.join(self.root_dir, self.seq_id_to_name[seq],
                             self.rdr_dirname, f"{rdr_frame}.npy")
         arr = np.load(path)
-        z0, z1, y0, y1, x0, x1 = self.geom.roi_idx
+        z0, z1, y0, y1, x0, x1 = self.cube_roi_idx
         if self.with_doppler:
             arr = arr[:, z0 : z1 + 1, y0 : y1 + 1, x0 : x1 + 1]
         else:

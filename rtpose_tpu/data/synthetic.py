@@ -135,7 +135,8 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                with_lidar: bool = False,
                                radar_cubes: bool = True,
                                persons_per_frame: int = 1,
-                               seq_offset: int = 0) -> Dict[str, list]:
+                               seq_offset: int = 0,
+                               roi_only: bool = False) -> Dict[str, list]:
     """Create the dataset under ``root``; returns {split: [sample keys]}.
 
     ``with_lidar=True`` additionally writes per-frame LiDAR point clouds
@@ -143,7 +144,13 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
     P_L2R = I) and records ``Lidar_frameID`` in the labels; the reference's
     LiDAR branch consumes these through Preprocess + Voxelization
     (``det3d/datasets/pipelines/pose.py:15-142``).  ``radar_cubes=False``
-    skips writing the (large) radar cubes for LiDAR-only datasets."""
+    skips writing the (large) radar cubes for LiDAR-only datasets.
+
+    ``roi_only=True`` writes each cube PRE-CROPPED to the ROI1 region
+    (~6x less disk: 10.5 MB vs 67 MB per f16 Doppler frame).  The signal
+    content inside the ROI is byte-identical to a full-cube root with the
+    same seed; pair with ``DIR.CUBES_ARE_ROI=True`` in the dataset config
+    (see :func:`dataset_cfg`) so the loader skips the index crop."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     with_doppler = "d" in rdr_type
@@ -161,6 +168,14 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
     arr_z = np.arange(-5.8, 5.8, 11.6 / 32)
     arr_y = np.arange(-10.05, 10.05, 20.1 / 128)
     arr_x = np.arange(0, 11.6, 11.6 / 256)
+
+    roi_slice = None
+    if roi_only:
+        # the loader's exact nearest-index crop (CubeGeometry.from_roi)
+        from .cruw_pose import CubeGeometry
+        z0, z1, y0, y1, x0, x1 = CubeGeometry.from_roi(
+            {k: list(v) for k, v in ROI1.items()}).roi_idx
+        roi_slice = (slice(z0, z1 + 1), slice(y0, y1 + 1), slice(x0, x1 + 1))
 
     meta_lines = []
     splits = {"Train": {}, "Test": {}}
@@ -255,8 +270,10 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
                                          full * np.sin(phase)])
                 else:
                     full = cube
+                if roi_slice is not None:
+                    full = full[(Ellipsis,) + roi_slice]
                 np.save(os.path.join(cube_dir, f"{rdr_frame}.npy"),
-                        full.astype(dtype))
+                        np.ascontiguousarray(full.astype(dtype)))
 
                 objs = []
                 for q in poses:
@@ -275,11 +292,14 @@ def generate_synthetic_dataset(root: str, num_seqs: int = 2,
     return keys
 
 
-def dataset_cfg(root: str, rdr_type: str = "dzyx_real") -> dict:
-    """A DATASET config dict (reference schema) pointing at ``root``."""
+def dataset_cfg(root: str, rdr_type: str = "dzyx_real",
+                roi_only: bool = False) -> dict:
+    """A DATASET config dict (reference schema) pointing at ``root``;
+    ``roi_only`` for roots generated with ``roi_only=True``."""
     with_doppler = "d" in rdr_type
     return dict(
-        DIR=dict(ROOT_DIR=root, META_FILE="file_meta.txt"),
+        DIR=dict(ROOT_DIR=root, META_FILE="file_meta.txt",
+                 CUBES_ARE_ROI=bool(roi_only)),
         LABEL=dict(IS_CONSIDER_ROI=True, ROI_TYPE="roi1",
                    CONSIDER_RADAR_VISIBILITY=False),
         ROI=dict(roi1=ROI1),

@@ -285,7 +285,18 @@ class HRNet3D(nn.Module):
             b = self.param("final_conv_bias", nn.initializers.zeros_init(),
                            (self.final_conv_out,))
             if folded:
+                from ..ops import quant as quant_ops
                 from ..ops.fold_conv import conv3d_folded_concat
+                if quant_ops.current() is not None:
+                    # the final fuse conv is an inline-param site (not a
+                    # TorchConv3d) — consult the quant context directly so
+                    # its ~8 GFLOP/frame contraction calibrates + quantizes
+                    path = "/".join(self.path + ("final_conv",)) if self.path \
+                        else "final_conv"
+                    scale = quant_ops.consult(path, out)
+                    if scale is not None:
+                        return quant_ops.conv3d_int8_concat_1x1(
+                            out, w, b, block_ch, scale, out.dtype)
                 out = conv3d_folded_concat(out, w.astype(out.dtype), block_ch, b)
             else:
                 from ..ops.fold_conv import conv3d_naive

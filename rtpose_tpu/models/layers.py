@@ -63,26 +63,17 @@ class TorchConv3d(nn.Module):
              if self.use_bias else None)
         if dt is not None:
             x = x.astype(dt)
-        q = quant_ops.current()
-        if q is not None:
+        if quant_ops.current() is not None:
             # flax Module.path is () for a root-applied module; fall back to
-            # the module name so scales key stably in unit-level usage too
+            # the module name so scales key stably in unit-level usage too.
+            # consult() records a traced absmax under calibration (max-
+            # accumulated across repeated applications of a shared module)
+            # and returns the activation scale under int8 mode.
             path = "/".join(self.path) or (self.name or "")
-            if not q.excluded(path):
-                if q.mode == "calib":
-                    # traced absmax becomes a jit output of the wrapper
-                    # (ops/quant.calibration_scales); conv itself runs float.
-                    # max-accumulate: a module applied more than once in one
-                    # forward (weight sharing) must record the range over ALL
-                    # applications, not the last one
-                    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-                    prev = q.traced.get(path)
-                    q.traced[path] = (absmax if prev is None
-                                      else jnp.maximum(prev, absmax))
-                elif q.mode == "int8" and path in q.scales:
-                    return quant_ops.conv3d_int8(
-                        x, w, b, self.stride, q.scales[path],
-                        self.folded, x.dtype)
+            scale = quant_ops.consult(path, x)
+            if scale is not None:
+                return quant_ops.conv3d_int8(
+                    x, w, b, self.stride, scale, self.folded, x.dtype)
         if self.folded:
             if self.stride == 1 and self.kernel > 1:
                 # tap-gather formulation: half the issued FLOPs of the

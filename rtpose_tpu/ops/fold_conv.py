@@ -138,6 +138,62 @@ def conv3d_folded(xf: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None = No
     return out
 
 
+def conv3d_folded_1x1(xf: jnp.ndarray, w: jnp.ndarray,
+                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Stride-1 1x1x1 conv on a folded tensor as a lane-wise matmul.
+
+    KEPT AS A DOCUMENTED NEGATIVE RESULT (exactness-tested, not on the
+    model path): the folded layout is fi-major so the (4C) -> (4, C)
+    reshape is a free *index* rearrangement and the conv is one
+    (…, C) @ (C, Co) contraction — x4 fewer issued FLOPs than the
+    block-diagonal folded kernel on paper.  Measured on v5e it is 2.4-4x
+    SLOWER: splitting the folded lane dimension makes C the minor axis
+    (32/64 < the 128-lane tile), forcing relayout/transposes that dwarf
+    the saved multiplies.  Same conclusion for the int8 variant and the
+    concat form below (see BASELINE.md negative results, round 4)."""
+    kz, ky, kx, C, Co = w.shape
+    assert (kz, ky, kx) == (1, 1, 1), w.shape
+    B, Z, Y, Xf, Cf = xf.shape
+    assert Cf == FOLD * C, (xf.shape, C)
+    xr = xf.reshape(B, Z, Y, Xf, FOLD, C)
+    out = jnp.einsum("bzyxfc,co->bzyxfo", xr, w[0, 0, 0].astype(xf.dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(B, Z, Y, Xf, FOLD * Co)
+
+
+def unfold_concat_lanes(xf: jnp.ndarray, block_channels) -> jnp.ndarray:
+    """(B, Z, Y, X', sum(4*Cb)) concat-of-folded -> (B, Z, Y, X', 4, sum(Cb)).
+
+    A concat of folded tensors is per-block fi-major; regrouping to a global
+    (fold, channel) pair needs one split+concat relayout (cheap: channel-dim
+    only, no spatial movement)."""
+    parts = []
+    off = 0
+    B, Z, Y, Xf, _ = xf.shape
+    for Cb in block_channels:
+        blk = xf[..., off:off + FOLD * Cb].reshape(B, Z, Y, Xf, FOLD, Cb)
+        parts.append(blk)
+        off += FOLD * Cb
+    return jnp.concatenate(parts, axis=-1)
+
+
+def conv3d_folded_concat_1x1(xf: jnp.ndarray, w: jnp.ndarray, block_channels,
+                             bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Stride-1 1x1x1 conv on a concat-of-folded input as one matmul —
+    exact same outputs/layout as conv3d_folded_concat for k=1, s=1, but a
+    documented NEGATIVE RESULT (12.3 vs 3.2 ms bf16 on the 192->128 final
+    fuse conv): see conv3d_folded_1x1."""
+    kz, ky, kx, C_total, Co = w.shape
+    assert (kz, ky, kx) == (1, 1, 1), w.shape
+    B, Z, Y, Xf, _ = xf.shape
+    xr = unfold_concat_lanes(xf, tuple(block_channels))
+    out = jnp.einsum("bzyxfc,co->bzyxfo", xr, w[0, 0, 0].astype(xf.dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(B, Z, Y, Xf, FOLD * Co)
+
+
 def gather_taps_x(xf: jnp.ndarray, kx: int) -> jnp.ndarray:
     """(B, Z, Y, X', F*C) folded -> (B, Z, Y, X', (F+kx-1)*C) tap groups.
 

@@ -40,8 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .fold_conv import (FOLD, _fold_entries, fold_weights_x4, gather_taps_x,
-                        gather_weights_x)
+from .fold_conv import (FOLD, _fold_entries, fold_weights_concat,
+                        fold_weights_x4, gather_taps_x, gather_weights_x)
 
 _state = threading.local()
 
@@ -133,6 +133,27 @@ def calibration_scales(fn, batches, exclude: tuple = DEFAULT_EXCLUDE,
     return scales_from_calib(maxima)
 
 
+def consult(path: str, x: jnp.ndarray) -> Optional[float]:
+    """Quant-context hook for a conv call site keyed by ``path``.
+
+    Under calibration, records the input absmax (max-accumulated across
+    repeated applications) and returns None; under int8 mode returns the
+    activation scale if one was calibrated for this path; otherwise None
+    (caller runs its float path).  Mirrors TorchConv3d's inline logic so
+    non-module conv sites (e.g. the HRNet final fuse conv) participate."""
+    q = current()
+    if q is None or q.excluded(path):
+        return None
+    if q.mode == "calib":
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = q.traced.get(path)
+        q.traced[path] = absmax if prev is None else jnp.maximum(prev, absmax)
+        return None
+    if q.mode == "int8":
+        return q.scales.get(path)
+    return None
+
+
 def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     q = jnp.round(x.astype(jnp.float32) * (1.0 / scale))
     return jnp.clip(q, -127, 127).astype(jnp.int8)
@@ -161,7 +182,10 @@ def conv3d_int8(x: jnp.ndarray, w: jnp.ndarray, bias, stride: int,
     wq, sw = _quantize_weight(w)
 
     if folded:
-        if stride == 1 and kx > 1 and kx % 2 == 1:
+        if stride == 1 and kx > 1 and kx % 2 == 1 and Co <= C:
+            # measured (tools/perf_lab.py + round-4 probe): gather-i8 wins
+            # at fat-input convs (C128->C32: 1.59x over bf16), f4-i8 wins
+            # at expanding convs (C32->C128: 1.44x over gather-i8)
             g = gather_taps_x(xq, kx)                  # zero pad == zp 0
             wf = gather_weights_x(wq)                  # int8, zeros exact
             pad = [(kz // 2, kz // 2), (ky // 2, ky // 2), (0, 0)]
@@ -190,4 +214,26 @@ def conv3d_int8(x: jnp.ndarray, w: jnp.ndarray, bias, stride: int,
         out = acc.astype(jnp.float32) * (sw * act_scale)
         if bias is not None:
             out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def conv3d_int8_concat_1x1(x: jnp.ndarray, w: jnp.ndarray, bias,
+                           block_channels, act_scale: float,
+                           out_dtype) -> jnp.ndarray:
+    """Int8 form of the HRNet final fuse conv (concat-of-folded input) in
+    the BLOCK-DIAGONAL folded-kernel form, measured 1.82x its bf16 rate
+    on-chip.  A lane-regrouping matmul form (unfold_concat_lanes + one
+    K=sum(C) dot) is 4.5x SLOWER despite x4 fewer issued ops: splitting
+    the folded lane dim produces a (…, FOLD, C) minor layout the TPU has
+    to transpose around (see BASELINE.md negative results)."""
+    xq = _quantize_act(x, act_scale)
+    wq, sw = _quantize_weight(w)
+    wf = fold_weights_concat(wq, tuple(block_channels))
+    acc = lax.conv_general_dilated(
+        xq, wf, (1, 1, 1), [(0, 0), (0, 0), (0, 0)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (jnp.tile(sw, FOLD) * act_scale)
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(jnp.float32), FOLD)
     return out.astype(out_dtype)

@@ -501,3 +501,54 @@ class TestGroupSampling:
 
         assert ConcatDataset([a, Plain()]).flag is None
         assert RepeatDataset(Plain(), 2).flag is None
+
+
+class TestRoiOnlyRoots:
+    """roi_only generated roots (DIR.CUBES_ARE_ROI) are byte-equivalent to
+    full-cube roots: same seed -> identical loader outputs at ~6x less disk."""
+
+    def test_items_identical_to_full_root(self, tmp_path):
+        full_root = str(tmp_path / "full")
+        roi_root = str(tmp_path / "roi")
+        generate_synthetic_dataset(full_root, num_seqs=1, frames_per_seq=2,
+                                   seed=9, pose_mode="skeleton")
+        generate_synthetic_dataset(roi_root, num_seqs=1, frames_per_seq=2,
+                                   seed=9, pose_mode="skeleton", roi_only=True)
+        ds_full = CRUWPoseDataset(dict(DATASET=dataset_cfg(full_root)),
+                                  "Train.json", split="train")
+        ds_roi = CRUWPoseDataset(dict(DATASET=dataset_cfg(roi_root,
+                                                          roi_only=True)),
+                                 "Train.json", split="train")
+        assert len(ds_full) == len(ds_roi) == 2
+        for i in range(2):
+            a, b = ds_full[i], ds_roi[i]
+            np.testing.assert_array_equal(a["rdr_tensor"], b["rdr_tensor"])
+            np.testing.assert_array_equal(a["poses"], b["poses"])
+
+    def test_raw_path_identical(self, tmp_path):
+        full_root = str(tmp_path / "fullr")
+        roi_root = str(tmp_path / "roir")
+        generate_synthetic_dataset(full_root, num_seqs=1, frames_per_seq=1,
+                                   seed=11)
+        generate_synthetic_dataset(roi_root, num_seqs=1, frames_per_seq=1,
+                                   seed=11, roi_only=True)
+        ds_full = CRUWPoseDataset(dict(DATASET=dataset_cfg(full_root)),
+                                  "Train.json", split="train",
+                                  device_preprocess=True)
+        ds_roi = CRUWPoseDataset(dict(DATASET=dataset_cfg(roi_root,
+                                                          roi_only=True)),
+                                 "Train.json", split="train",
+                                 device_preprocess=True)
+        a, b = ds_full[0], ds_roi[0]
+        np.testing.assert_array_equal(a["rdr_raw"], b["rdr_raw"])
+
+    def test_disk_savings(self, tmp_path):
+        roi_root = str(tmp_path / "small")
+        generate_synthetic_dataset(roi_root, num_seqs=1, frames_per_seq=1,
+                                   seed=3, roi_only=True,
+                                   test_frames_per_seq=0)
+        import glob
+        files = glob.glob(os.path.join(roi_root, "*", "DZYX_npy_f16", "*.npy"))
+        assert len(files) == 1
+        arr = np.load(files[0])
+        assert arr.shape == (32, 16, 64, 160)

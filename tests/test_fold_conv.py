@@ -56,6 +56,44 @@ def test_gather_gradients_match():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("C,Co", [(4, 4), (8, 4), (4, 8)])
+def test_folded_1x1_matmul_matches_naive(C, Co):
+    """The lane-wise matmul 1x1 form (x1 issued FLOPs) equals the naive
+    conv bit-for-bit in f32 (same contraction, no reassociation across C)."""
+    from rtpose_tpu.ops.fold_conv import conv3d_folded_1x1
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 16, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, C, Co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
+    got = unfold_x(conv3d_folded_1x1(fold_x(x), w, b))
+    want = conv3d_naive(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_folded_concat_1x1_matches_concat_kernel_form():
+    """conv3d_folded_concat_1x1 == conv3d_folded_concat == naive on the
+    unfolded concat, for k=1 s=1 (the HRNet final fuse conv)."""
+    from rtpose_tpu.ops.fold_conv import (conv3d_folded_concat,
+                                          conv3d_folded_concat_1x1)
+
+    rng = np.random.default_rng(12)
+    blocks = (4, 8, 4)
+    xs = [jnp.asarray(rng.normal(size=(2, 4, 6, 16, Cb)).astype(np.float32))
+          for Cb in blocks]
+    w = jnp.asarray(rng.normal(size=(1, 1, 1, sum(blocks), 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    xf_cat = jnp.concatenate([fold_x(x) for x in xs], axis=-1)
+    got = unfold_x(conv3d_folded_concat_1x1(xf_cat, w, blocks, b))
+    want_kernel = unfold_x(conv3d_folded_concat(xf_cat, w, blocks, b))
+    want_naive = conv3d_naive(jnp.concatenate(xs, axis=-1), w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_kernel),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_naive),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fold_unfold_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 2, 3, 8, 5)).astype(np.float32))

@@ -47,12 +47,18 @@ class TestInt8Conv:
         tol = 0.02 * float(jnp.max(jnp.abs(ref)))
         assert float(jnp.max(jnp.abs(out - ref))) < tol
 
-    @pytest.mark.parametrize("kernel,stride", [(3, 1), (3, 2), (1, 1)])
-    def test_folded_matches_naive_int8(self, kernel, stride):
-        """Folded int8 (gather for s1k3, folded-kernel otherwise) computes
-        the IDENTICAL integer program as the naive int8 conv: int32
-        accumulation is exact and the structural zeros quantize to 0."""
-        C, Co = 8, 12
+    @pytest.mark.parametrize("kernel,stride,C,Co", [
+        (3, 1, 8, 12),   # expanding: f4-i8 form
+        (3, 1, 12, 8),   # contracting: gather-i8 form
+        (3, 2, 8, 12),   # strided: folded-kernel form
+        (1, 1, 8, 12),   # 1x1: lane-wise matmul form
+        (1, 2, 8, 8),    # strided 1x1: folded-kernel form
+    ])
+    def test_folded_matches_naive_int8(self, kernel, stride, C, Co):
+        """Every folded int8 form (gather / f4 / 1x1-matmul, chosen per
+        shape) computes the IDENTICAL integer program as the naive int8
+        conv: int32 accumulation is exact and the structural zeros
+        quantize to 0."""
         x = _rand((2, 4, 6, 16, C), 3)
         w = _rand((kernel, kernel, kernel, C, Co), 4, 0.3)
         b = _rand((Co,), 5)
@@ -62,6 +68,24 @@ class TestInt8Conv:
         folded = quant.conv3d_int8(fold_x(x), w, b, stride, act_scale,
                                    folded=True, out_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(unfold_x(folded)),
+                                   np.asarray(naive), rtol=1e-6, atol=1e-6)
+
+    def test_concat_1x1_matches_naive_int8(self):
+        """The concat-of-folded int8 matmul (HRNet final fuse conv) equals
+        the naive int8 1x1 conv on the unfolded concat input."""
+        from rtpose_tpu.ops.fold_conv import conv3d_folded_concat
+        blocks = (4, 8)
+        xs = [_rand((2, 4, 6, 16, Cb), 10 + i) for i, Cb in enumerate(blocks)]
+        w = _rand((1, 1, 1, sum(blocks), 8), 12, 0.3)
+        b = _rand((8,), 13)
+        x_cat = jnp.concatenate(xs, axis=-1)
+        xf_cat = jnp.concatenate([fold_x(x) for x in xs], axis=-1)
+        act_scale = float(jnp.max(jnp.abs(x_cat))) / 127.0
+        naive = quant.conv3d_int8(x_cat, w, b, 1, act_scale, folded=False,
+                                  out_dtype=jnp.float32)
+        got = quant.conv3d_int8_concat_1x1(xf_cat, w, b, blocks, act_scale,
+                                           jnp.float32)
+        np.testing.assert_allclose(np.asarray(unfold_x(got)),
                                    np.asarray(naive), rtol=1e-6, atol=1e-6)
 
     @pytest.mark.parametrize("folded", [False, True])

@@ -49,6 +49,9 @@ def main():
     p.add_argument("--persons_per_frame", type=int, default=1)
     p.add_argument("--with_lidar", action="store_true",
                    help="also write per-frame LiDAR point clouds")
+    p.add_argument("--roi_only", action="store_true",
+                   help="write cubes pre-cropped to ROI1 (~6x less disk); "
+                        "pair with DIR.CUBES_ARE_ROI=True in the config")
     args = p.parse_args()
 
     apply_platform_env()
@@ -60,7 +63,8 @@ def main():
         pose_mode=args.pose_mode,
         persons_per_frame=args.persons_per_frame,
         with_lidar=args.with_lidar,
-        seq_offset=args.seq_offset)
+        seq_offset=args.seq_offset,
+        roi_only=args.roi_only)
     print(f"wrote {args.root}: "
           f"{len(keys['Train'])} train / {len(keys['Test'])} test frames")
 
