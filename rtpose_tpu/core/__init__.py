@@ -13,3 +13,4 @@ from .targets import (
 )
 from .decode import decode_pose_preds, post_process_pose
 from .metrics import pjpe, abs_pjpe
+from . import kitti_eval

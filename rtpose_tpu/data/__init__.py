@@ -5,3 +5,5 @@ from .loader import (BatchLoader, DeviceCachedLoader, StreamingDeviceLoader,
 from .synthetic import generate_synthetic_dataset
 from .builder import build_dataset
 from .wrappers import ConcatDataset, RepeatDataset
+from .factory import dataset_factory, get_dataset
+from .point_cloud import PointCloudDataset

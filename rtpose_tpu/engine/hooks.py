@@ -22,6 +22,8 @@ import os
 import time
 from typing import Optional
 
+import numpy as np
+
 PRIORITIES = {
     "HIGHEST": 0, "VERY_HIGH": 10, "HIGH": 30, "NORMAL": 50,
     "LOW": 70, "VERY_LOW": 90, "LOWEST": 100,
@@ -97,6 +99,51 @@ class LoggerHook(Hook):
             trainer.log_buffer.average(self.interval)
             trainer.emit_log(trainer.inner_iter + 1, len(trainer.loader))
             trainer.log_buffer.clear_output()
+
+
+class HTTPLoggerHook(Hook):
+    """Interval metric POST to an HTTP endpoint (PaviLoggerHook parity,
+    ``det3d/torchie/trainer/hooks/logger/pavi.py`` — the reference's
+    SenseTime-internal metrics server generalized to any JSON collector).
+
+    Posts ``{"session": ..., "step": ..., "epoch": ..., "metrics": {...}}``
+    after each log interval.  Network failures are logged once and never
+    interrupt training."""
+
+    priority = PRIORITIES["LOWEST"]
+
+    def __init__(self, url: str, interval: int = 20, session: str = "",
+                 timeout: float = 2.0):
+        self.url = url
+        self.interval = interval
+        self.session = session
+        self.timeout = timeout
+        self._warned = False
+
+    def _post(self, payload: dict):
+        import json
+        import urllib.request
+        req = urllib.request.Request(
+            self.url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(req, timeout=self.timeout).read()
+
+    def after_train_iter(self, trainer):
+        if not (self.every_n_inner_iters(trainer, self.interval)
+                or self.end_of_epoch(trainer)):
+            return
+        trainer.flush_metrics()
+        metrics = {k: float(np.mean(v)) for k, v in
+                   trainer.log_buffer.val_history.items()
+                   if v and isinstance(v[-1], (int, float))}
+        try:
+            self._post({"session": self.session, "step": trainer._host_step,
+                        "epoch": trainer.epoch, "metrics": metrics})
+        except Exception as e:
+            if not self._warned:
+                trainer.logger.warning(f"HTTPLoggerHook: {e!r} (suppressing "
+                                       f"further warnings)")
+                self._warned = True
 
 
 class CheckpointHook(Hook):
