@@ -193,12 +193,24 @@ class BatchLoader:
             yield item
 
 
+_COMPRESS_MIN_BYTES = 1024
+
+
 def _numeric_spec(first: dict, cache_dtype):
     """Numeric-array spec of one sample: (keys, shapes, cache dtypes,
     original dtypes of compressed keys).  Shared by the device-resident
-    loaders so their caching rules stay in lockstep."""
+    loaders so their caching rules stay in lockstep.
+
+    ``cache_dtype`` compresses only float keys that are (a) LARGE (>= 1 KB
+    per sample — the radar cubes; compressing a 180-byte pose array saves
+    nothing) and (b) actually shrunk by the cast (f32 -> bf16 yes, f16 ->
+    bf16 no).  In particular the pose LABELS always stay in their original
+    dtype: a bf16 cache quantum at 5-8 m world coordinates is 3-6 cm —
+    silent label noise on the order of the model's own MPJPE."""
     import jax.numpy as jnp
     keys, shapes, dtypes, orig = [], {}, {}, {}
+    cd = (np.dtype(jnp.dtype(cache_dtype)) if cache_dtype is not None
+          else None)
     for k, v in first.items():
         if k == "meta" or k in BatchLoader.LIST_KEYS:
             continue
@@ -206,9 +218,11 @@ def _numeric_spec(first: dict, cache_dtype):
         if not np.issubdtype(a.dtype, np.number):
             continue
         dt = a.dtype
-        if cache_dtype is not None and np.issubdtype(dt, np.floating):
+        if (cd is not None and np.issubdtype(dt, np.floating)
+                and cd.itemsize < dt.itemsize
+                and a.nbytes >= _COMPRESS_MIN_BYTES):
             orig[k] = dt
-            dt = np.dtype(jnp.dtype(cache_dtype))
+            dt = cd
         keys.append(k)
         shapes[k] = a.shape
         dtypes[k] = dt

@@ -233,6 +233,56 @@ class TestLoader:
         with pytest.raises(ValueError, match="does not fit|GB"):
             DeviceCachedLoader(ds, batch_size=3, max_bytes=1000)
 
+    def test_cache_compression_spares_labels(self):
+        """cache_dtype compresses only large float keys: the pose LABELS
+        stay full precision (a bf16 quantum at 5-8 m world coords is 3-6 cm
+        of silent label noise), and a cast that does not shrink bytes
+        (f16 raw cubes -> bf16) is skipped."""
+        from rtpose_tpu.data.loader import _numeric_spec
+
+        item = {"meta": {},
+                "rdr_tensor": np.zeros((4, 6, 8, 4), np.float32),   # 3 KB
+                "rdr_raw": np.zeros((4, 6, 8, 4), np.float16),      # 1.5 KB
+                "poses": np.zeros((1, 15, 3), np.float32),          # 180 B
+                "num_poses": np.int32(1), "mode": "train"}
+        keys, shapes, dtypes, orig = _numeric_spec(item, "bfloat16")
+        assert dtypes["rdr_tensor"].itemsize == 2 and "rdr_tensor" in orig
+        assert dtypes["poses"] == np.float32 and "poses" not in orig
+        assert dtypes["rdr_raw"] == np.float16 and "rdr_raw" not in orig
+        assert dtypes["num_poses"] == np.int32
+
+    def test_device_cached_float8_roundtrip(self):
+        """float8_e4m3fn cache (the over-HBM single-chip lever, 4x smaller):
+        gathered batches equal the host item cast through f8 exactly, and
+        poses come back bit-exact f32."""
+        import jax.numpy as jnp
+
+        from rtpose_tpu.data import DeviceCachedLoader
+
+        class FakeDS:
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(77 + i)
+                return {"meta": {},
+                        "rdr_tensor": r.normal(size=(4, 6, 8, 4)).astype(np.float32),
+                        "poses": r.normal(size=(1, 15, 3)).astype(np.float32),
+                        "num_poses": np.int32(1), "mode": "train"}
+
+        ds = FakeDS()
+        loader = DeviceCachedLoader(ds, batch_size=4, shuffle=False, seed=0,
+                                    cache_dtype="float8_e4m3fn")
+        batch = next(iter(loader))
+        for j in range(4):
+            it = ds[j]
+            want = np.asarray(jnp.asarray(it["rdr_tensor"])
+                              .astype(jnp.float8_e4m3fn).astype(np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(batch["rdr_tensor"][j], np.float32), want)
+            np.testing.assert_array_equal(np.asarray(batch["poses"][j]),
+                                          it["poses"])
+
 
 class TestPipelineParity:
     def test_host_pipeline_matches_device_assigner(self, synth_root):

@@ -54,8 +54,12 @@ def parse_args():
                         "build batches with on-device gathers (small "
                         "datasets only; removes all per-step H2D traffic)")
     p.add_argument("--cache_dtype", default=None,
-                   help="store the device cache compressed (e.g. bfloat16); "
-                        "batches are cast back to f32 after the gather")
+                   help="store the device cache compressed (bfloat16 halves "
+                        "it; float8_e4m3fn quarters it — ~31 dB input SNR, "
+                        "run the 480-frame trajectory check before trusting "
+                        "a new dtype); only LARGE float keys (the cubes) "
+                        "compress — pose labels always stay full precision; "
+                        "batches are cast back after the gather")
     p.add_argument("--stream_cache_gb", type=float, default=None,
                    help="device-resident batches for datasets larger than "
                         "HBM: split the set into chunks of this many GB, "
