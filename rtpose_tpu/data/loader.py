@@ -283,7 +283,6 @@ class DeviceCachedLoader:
         self.seed = seed
         self.epoch = 0
 
-        items = [dataset[i] for i in range(len(dataset))]
         # precomputed host targets (BatchLoader.LIST_KEYS) are NOT cached —
         # device-cached training always uses the on-device assigner (needs
         # raw poses); compressed (cache_dtype) float keys are cast back
@@ -291,13 +290,25 @@ class DeviceCachedLoader:
         # (N, K): TPU tiles the trailing two dims to (8, 128), so e.g. a
         # (..., 160, 32)-shaped cache would pad channels 32 -> 128 and
         # QUADRUPLE its HBM footprint; one huge K pads to the next multiple
-        # of 128 only.
-        keys, shapes, dtypes, self._orig_dtype = _numeric_spec(items[0],
+        # of 128 only.  Rows are filled one sample at a time directly into
+        # preallocated cache-dtype arrays — host peak is the CACHE size, not
+        # the full-f32 dataset (a 1920-frame f8 cache builds in 10 GB of
+        # host RAM instead of ~90).
+        n_items = len(dataset)
+        first = dataset[0]
+        keys, shapes, dtypes, self._orig_dtype = _numeric_spec(first,
                                                                cache_dtype)
         self._shapes = shapes
-        arrays = {k: np.stack([np.asarray(it[k]) for it in items])
-                  .astype(dtypes[k]).reshape(len(items), -1)
-                  for k in keys}
+        arrays = {k: np.empty((n_items, max(1, int(np.prod(shapes[k])))),
+                              dtypes[k]) for k in keys}
+        self.metas = []
+        for i in range(n_items):
+            it = first if i == 0 else dataset[i]
+            for k in keys:
+                arrays[k][i] = (np.asarray(it[k])
+                                .astype(dtypes[k], copy=False).reshape(-1))
+            self.metas.append(it.get("meta"))
+        first = None
         # sharded cache (P('data') on the sample axis): each device holds
         # 1/N of the dataset, so cacheable size scales with the mesh instead
         # of being capped by one chip's HBM; per-batch gathers become GSPMD
@@ -307,7 +318,7 @@ class DeviceCachedLoader:
         self.sharding = sharding
         if sharding is not None and not sharding.is_fully_replicated:
             ways = sharding.num_devices
-            pad = (-len(items)) % ways
+            pad = (-n_items) % ways
             if pad:
                 arrays = {k: np.concatenate([a, np.repeat(a[-1:], pad, 0)])
                           for k, a in arrays.items()}
@@ -318,8 +329,7 @@ class DeviceCachedLoader:
                 f"device, over the {max_bytes / 1e9:.2f} GB cap — use "
                 "BatchLoader for datasets that do not fit in HBM")
         self.nbytes = total
-        self.n = len(items)
-        self.metas = [it.get("meta") for it in items]
+        self.n = n_items
         self.data = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
 
     def set_epoch(self, epoch: int):

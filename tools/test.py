@@ -20,8 +20,10 @@ def parse_args():
     p = argparse.ArgumentParser(description="Test a detector")
     p.add_argument("config", help="config file path")
     p.add_argument("--work_dir", help="output dir")
-    p.add_argument("--checkpoint", required=True,
-                   help="checkpoint dir (or work_dir with a 'latest' pointer)")
+    p.add_argument("--checkpoint",
+                   help="checkpoint dir (or work_dir with a 'latest' "
+                        "pointer); required unless --exported (artifacts "
+                        "bake their parameters)")
     p.add_argument("--speed_test", action="store_true")
     p.add_argument("--testset", action="store_true")
     p.add_argument("--multihost", action="store_true")
@@ -65,7 +67,10 @@ def main():
     from rtpose_tpu.solver import adam_one_cycle
 
     cfg = Config.fromfile(args.config)
-    work_dir = args.work_dir or os.path.dirname(os.path.abspath(args.checkpoint))
+    if not args.checkpoint and not args.exported:
+        raise SystemExit("one of --checkpoint or --exported is required")
+    work_dir = args.work_dir or os.path.dirname(
+        os.path.abspath(args.checkpoint or args.exported))
     logger = get_root_logger(cfg.get("log_level", "INFO"))
     asm = assemble(cfg)
     if args.final_dtype:
@@ -160,9 +165,12 @@ def main():
         return
 
     os.makedirs(work_dir, exist_ok=True)
-    from rtpose_tpu.engine import resolve_checkpoint
-    ckpt_name = os.path.basename(
-        os.path.normpath(resolve_checkpoint(args.checkpoint))).split(".")[0]
+    if args.checkpoint:
+        from rtpose_tpu.engine import resolve_checkpoint
+        ckpt_name = os.path.basename(
+            os.path.normpath(resolve_checkpoint(args.checkpoint))).split(".")[0]
+    else:   # artifact eval: name outputs after the artifact file
+        ckpt_name = os.path.basename(args.exported).split(".")[0]
     save_predictions(detections, work_dir, ckpt_name,
                      "test" if args.testset else "train")
 
