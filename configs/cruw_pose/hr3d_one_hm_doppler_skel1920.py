@@ -1,10 +1,13 @@
 # Flagship architecture on the 1920-frame synthetic skeleton set: four
-# generated roots concatenated for training (roots 3/4 hold full cubes,
-# roots 5/6 are ROI-only — tools/gen_skel_data.py --roi_only — byte-
-# equivalent content at ~6x less disk); evaluation on root 1's held-out
-# Test.json.  Schedule: 100 epochs x 240 steps = the ~24k-step one-cycle
-# the round-4 discriminator runs validated (BASELINE.md: escape from the
+# generated roots concatenated for training, all ROI-only
+# (tools/gen_skel_data.py --roi_only — byte-equivalent content at ~6x
+# less disk than full cubes; the full-cube path stays exercised by the
+# skel480/960 configs); evaluation on root 1's held-out Test.json.
+# Schedule: 100 epochs x 240 steps = the ~24k-step one-cycle the round-4
+# discriminator runs validated (BASELINE.md: escape from the
 # predict-the-mean basin tracks TOTAL one-cycle length, not epochs).
+# HBM sizing: 1920 cropped frames exceed the 16 GB chip at bf16 (20 GB);
+# train with --cache_dtype float8_e4m3fn (10 GB, ~31 dB input SNR).
 import itertools
 import os
 
@@ -37,8 +40,10 @@ def _dataset(root, roi_only=False):
     )
 
 
-DATASET = _dataset(os.environ.get("RTPOSE_DATA_ROOT", "/tmp/skel_data3"))
-DATASET2 = _dataset(os.environ.get("RTPOSE_DATA_ROOT2", "/tmp/skel_data4"))
+DATASET = _dataset(os.environ.get("RTPOSE_DATA_ROOT", "/tmp/skel_data3"),
+                   roi_only=True)
+DATASET2 = _dataset(os.environ.get("RTPOSE_DATA_ROOT2", "/tmp/skel_data4"),
+                    roi_only=True)
 DATASET3 = _dataset(os.environ.get("RTPOSE_DATA_ROOT3", "/tmp/skel_data5"),
                     roi_only=True)
 DATASET4 = _dataset(os.environ.get("RTPOSE_DATA_ROOT4", "/tmp/skel_data6"),
