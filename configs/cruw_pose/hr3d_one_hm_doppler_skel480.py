@@ -16,8 +16,12 @@ class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
 
 def _dataset(root):
+    # RTPOSE_CUBES_ARE_ROI=1 reads roots generated with --roi_only
+    # (pre-cropped cubes, byte-equivalent content at ~6x less disk)
     return dict(
-        DIR=dict(ROOT_DIR=root, META_FILE="file_meta.txt"),
+        DIR=dict(ROOT_DIR=root, META_FILE="file_meta.txt",
+                 CUBES_ARE_ROI=os.environ.get(
+                     "RTPOSE_CUBES_ARE_ROI", "0") == "1"),
         LABEL=dict(IS_CONSIDER_ROI=True, ROI_TYPE="roi1",
                    CONSIDER_RADAR_VISIBILITY=False),
         ROI=dict(roi1={"z": [-1.0875000000000021, 4.7125],
