@@ -126,6 +126,11 @@ def measure_pipeline(np, B=8, epochs=2):
         frames = 0
         last = None
         for batch in device_prefetch(loader):
+            # "valid" must stay host-side (device_prefetch passes it
+            # through untransferred); a device array here would make this
+            # int() a blocking fetch that distorts the sustained number.
+            assert not isinstance(batch["valid"], jax.Array), \
+                "batch['valid'] became a device array — fix device_prefetch"
             valid = int(batch["valid"])
             metas = batch["meta"][:valid]
             dev = {k: v for k, v in batch.items()
@@ -339,9 +344,15 @@ def main():
 
     import __graft_entry__ as graft
 
-    asm = graft._flagship()
+    # --smoke: tiny-grid fast path (CI guard that the headline JSON prints
+    # first and the process exits 0 — the round-4 driver capture timed out
+    # because the headline used to print after ~8 informational sections)
+    smoke = "--smoke" in sys.argv
+
+    asm = graft._flagship(tiny=smoke)
     z, y, x, c = asm.input_shape_zyxc
     model = asm.model
+    batches = (2,) if smoke else (8, 32)
 
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, z, y, x, c)))
 
@@ -379,19 +390,66 @@ def main():
         return B / per_iter, per_iter
 
     results = {}
-    for B in (8, 32):
+    for B in batches:
         fps, per_iter = measure(B)
         results[B] = fps
         print(f"# batch={B}: {fps:.1f} frames/s ({1000 * per_iter:.2f} ms/fwd)",
               file=sys.stderr)
     best_bf16 = max(results.values())
 
+    # ---- int8 serving path (v5e MXU int8 = 2x bf16 rate) ----
+    # Same chained-scan harness; tracing under int8_mode dispatches every
+    # non-excluded conv to the int8 kernel (ops/quant.py).  Scales come from
+    # a random-cube calibration — the throughput is scale-independent.
+    int8_best = None
+    scales = None
+    try:
+        from rtpose_tpu.ops import quant
+        xcal = jax.device_put(
+            np.random.default_rng(1).random((batches[0], z, y, x, c),
+                                            np.float32))
+        scales = quant.calibration_scales(
+            lambda b: model.apply(params, b, method="predict_sparse"), [xcal])
+        with quant.int8_mode(scales):
+            int8_res = {}
+            for B in batches:
+                fps8, per8 = measure(B)
+                int8_res[B] = fps8
+                print(f"# int8 batch={B}: {fps8:.1f} frames/s "
+                      f"({1000 * per8:.2f} ms/fwd)", file=sys.stderr)
+        int8_best = max(int8_res.values())
+        print(f"# int8 vs bf16: {int8_best / best_bf16:.2f}x "
+              f"({len(scales)} quantized convs)", file=sys.stderr)
+    except Exception as e:
+        print(f"# int8 bench skipped: {e!r:.200}", file=sys.stderr)
+
+    # ---- HEADLINE — printed BEFORE the informational sections so the
+    # driver capture always gets it (round-4 lesson: BENCH_r04 rc=124 with
+    # parsed:null because this line used to print last).  Headline = best
+    # shipped serving path (bf16 or int8); every variant ships end-to-end
+    # via tools/export.py [--int8] [--final_dtype bfloat16] + tools/test.py
+    # --exported, with accuracy deltas recorded in BASELINE.md's round-5
+    # serving-variant MPJPE table.
+    best = max([best_bf16] + ([int8_best] if int8_best else []))
+    print(json.dumps({
+        "metric": "radar frames/sec/chip (HRRadarPose infer)",
+        "value": round(best, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(best / NORTH_STAR, 4),
+    }), flush=True)
+
+    if smoke:
+        return
+
+    # ================= informational follow-on sections =================
+    # Everything below is stderr-only diagnostics; the headline is already
+    # out, so a driver timeout here can no longer lose the round's metric.
+
     # ---- bf16-final serving variant (head OUTPUT convs in bf16) ----
     # Ships via tools/export.py --final_dtype bfloat16 (accuracy delta
     # measured by tools/test.py --final_dtype); trims the lane-starved
     # C32->K f32 out-convs (~1.4 ms of the 4.3 ms frame, BASELINE.md r3).
     fdt_model = None
-    best_fdt = None
     try:
         from rtpose_tpu.api import serving_variant
         fdt_model = serving_variant(asm, "bfloat16").model
@@ -401,42 +459,18 @@ def main():
             fdt_res[B] = fpsf
             print(f"# bf16-final batch={B}: {fpsf:.1f} frames/s "
                   f"({1000 * perf:.2f} ms/fwd)", file=sys.stderr)
-        best_fdt = max(fdt_res.values())
-        print(f"# bf16-final vs f32-final: {best_fdt / best_bf16:.2f}x",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"# bf16-final bench skipped: {e!r:.200}", file=sys.stderr)
-
-    # ---- int8 serving path (v5e MXU int8 = 2x bf16 rate) ----
-    # Same chained-scan harness; tracing under int8_mode dispatches every
-    # non-excluded conv to the int8 kernel (ops/quant.py).  Scales come from
-    # a random-cube calibration — the throughput is scale-independent.
-    int8_best = None
-    try:
-        from rtpose_tpu.ops import quant
-        xcal = jax.device_put(
-            np.random.default_rng(1).random((8, z, y, x, c), np.float32))
-        scales = quant.calibration_scales(
-            lambda b: model.apply(params, b, method="predict_sparse"), [xcal])
-        with quant.int8_mode(scales):
-            int8_res = {}
-            for B in (8, 32):
-                fps8, per8 = measure(B)
-                int8_res[B] = fps8
-                print(f"# int8 batch={B}: {fps8:.1f} frames/s "
-                      f"({1000 * per8:.2f} ms/fwd)", file=sys.stderr)
-            if fdt_model is not None:
+        print(f"# bf16-final vs f32-final: "
+              f"{max(fdt_res.values()) / best_bf16:.2f}x", file=sys.stderr)
+        if scales is not None:
+            from rtpose_tpu.ops import quant
+            with quant.int8_mode(scales):
                 # int8 convs + bf16 head out-convs — the full serving stack
                 # (tools/export.py --int8 --final_dtype bfloat16)
                 fps8f, per8f = measure(8, use_model=fdt_model)
-                int8_res["8+fdt"] = fps8f
                 print(f"# int8+bf16-final batch=8: {fps8f:.1f} frames/s "
                       f"({1000 * per8f:.2f} ms/fwd)", file=sys.stderr)
-        int8_best = max(int8_res.values())
-        print(f"# int8 vs bf16: {int8_best / best_bf16:.2f}x "
-              f"({len(scales)} quantized convs)", file=sys.stderr)
     except Exception as e:
-        print(f"# int8 bench skipped: {e!r:.200}", file=sys.stderr)
+        print(f"# bf16-final bench skipped: {e!r:.200}", file=sys.stderr)
 
     try:
         report_mfu(asm, model, params, best_bf16, np)
@@ -511,20 +545,6 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# preprocess bench skipped: {e!r:.120}", file=sys.stderr)
-
-    # headline = best shipped serving path (bf16, bf16-final head outputs,
-    # or int8 when faster — every variant ships end-to-end via
-    # tools/export.py [--int8] [--final_dtype bfloat16] + tools/test.py
-    # --exported, MPJPE deltas tracked in BASELINE.md)
-    best = max([best_bf16]
-               + ([best_fdt] if best_fdt else [])
-               + ([int8_best] if int8_best else []))
-    print(json.dumps({
-        "metric": "radar frames/sec/chip (HRRadarPose infer)",
-        "value": round(best, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(best / NORTH_STAR, 4),
-    }))
 
 
 if __name__ == "__main__":
