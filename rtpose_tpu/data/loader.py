@@ -123,9 +123,12 @@ class BatchLoader:
 
     def _indices(self) -> np.ndarray:
         flags = getattr(self.dataset, "flag", None)
-        if flags is not None:
+        if flags is not None and self.shuffle:
             # datasets exposing an aspect-group `flag` array get
-            # flag-homogeneous batches (reference GroupSampler semantics)
+            # flag-homogeneous batches when shuffling (GroupSampler is a
+            # TRAIN-time sampler in the reference — build_loader.py:23-59
+            # uses it only for shuffle=True; eval loaders stay sequential
+            # with tail padding, never wrap-around-padded)
             return group_shard_indices(flags, self.batch_size,
                                        self.seed + self.epoch, self.shuffle,
                                        self.num_shards, self.shard_id)
@@ -282,6 +285,10 @@ class DeviceCachedLoader:
         self.shard_id = shard_id
         self.seed = seed
         self.epoch = 0
+        # aspect-group flags captured at build time (the cache drops the
+        # dataset reference once rows are uploaded)
+        flags = getattr(dataset, "flag", None)
+        self._flags = None if flags is None else np.asarray(flags)
 
         # precomputed host targets (BatchLoader.LIST_KEYS) are NOT cached —
         # device-cached training always uses the on-device assigner (needs
@@ -336,12 +343,19 @@ class DeviceCachedLoader:
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:
+        if self._flags is not None and self.shuffle:
+            # same GroupSampler-parity index stream as BatchLoader so the
+            # two training loaders see identical epochs (flag-homogeneous
+            # batches, wrap-around padded to full batches)
+            return group_shard_indices(self._flags, self.batch_size,
+                                       self.seed + self.epoch, self.shuffle,
+                                       self.num_shards, self.shard_id)
         return shard_indices(self.n, self.seed + self.epoch, self.shuffle,
                              self.num_shards, self.shard_id, self.drop_last)
 
     def __len__(self):
         per_shard = len(self._indices())
-        if self.drop_last:
+        if self.drop_last and not (self._flags is not None and self.shuffle):
             return per_shard // self.batch_size
         return (per_shard + self.batch_size - 1) // self.batch_size
 

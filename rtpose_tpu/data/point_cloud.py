@@ -6,9 +6,10 @@ all dataset classes are meant to subclass: it pins the class attributes
 uniform aspect-group ``flag`` (custom.py:160-168), and declares the abstract
 surface (``__getitem__`` / ``__len__`` / ``get_sensor_data`` / ``evaluation``
 / ``ground_truth_annotations``).  In the reference it is dormant (the CRUW
-dataset re-implements the contract without inheriting); here it is a real,
-subclassable base — group batching (``loader.group_shard_indices``) and the
-dataset builder consume exactly the surface it defines.
+dataset re-implements the contract without inheriting); here it is the live
+base class: ``CRUWPoseDataset`` (and through it the lidar dataset) inherits
+the group-batching ``flag`` and implements the abstract surface, and
+``loader.group_shard_indices`` consumes exactly what it defines.
 """
 
 from __future__ import annotations

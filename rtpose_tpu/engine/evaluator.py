@@ -16,7 +16,7 @@ from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 
-from ..core.decode import post_process_pose
+from ..core.decode import post_process_pose, post_process_pose_multi
 from ..parallel import all_gather_objects, shard_batch
 
 
@@ -106,7 +106,6 @@ def run_eval(eval_step: Callable, params, loader, decode_spec, *,
         merged = None
         for task_out in per_task:
             if len(task_out) == 2:            # multi-person decode path
-                from ..core.decode import post_process_pose_multi
                 kpts, scores = task_out
                 outs = post_process_pose_multi(kpts[:valid], scores[:valid],
                                                decode_spec, metas=metas)

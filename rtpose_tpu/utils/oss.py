@@ -31,6 +31,23 @@ def is_oss_path(path: str) -> bool:
     return isinstance(path, str) and path.startswith(SCHEMES)
 
 
+def open_path(path: str, mode: str = "r"):
+    """``open()`` that also accepts ``oss://`` / ``s3://`` URIs — the
+    dataset layer reads label/meta files through this so object-store
+    roots work (the reference's OSS pathlib is dormant; here it is the
+    live IO dispatch for remote roots)."""
+    return OSSPath(path).open(mode) if is_oss_path(path) else open(path, mode)
+
+
+def load_npy(path: str):
+    """``np.load`` for local paths or object-store URIs."""
+    import numpy as np
+    if is_oss_path(path):
+        with OSSPath(path).open("rb") as f:
+            return np.load(f)
+    return np.load(path)
+
+
 class OSSPath:
     """Pathlib-like handle on ``oss://bucket/key`` (or a local path)."""
 
@@ -111,6 +128,18 @@ class OSSPath:
                 f.write(data)
             return
         self._cli().put_object(Bucket=self.bucket, Key=self.key, Body=data)
+
+    def open(self, mode: str = "rb"):
+        """File-object access; remote paths are fetched whole (read-only)."""
+        if not self.remote:
+            return open(self._raw, mode)
+        import io
+        if mode in ("r", "rt"):
+            return io.StringIO(self.read_text())
+        if mode == "rb":
+            return io.BytesIO(self.read_bytes())
+        raise ValueError(f"remote open mode {mode!r} unsupported "
+                         "(write through write_bytes())")
 
     def iterdir(self, suffix: Optional[str] = None) -> Iterator["OSSPath"]:
         if not self.remote:

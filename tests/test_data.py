@@ -150,13 +150,17 @@ class TestLoader:
             np.testing.assert_array_equal(bs_["poses"], bp["poses"])
             assert [m for m in bs_["meta"]] == [m for m in bp["meta"]]
 
-    def test_train_drop_last(self, synth_root):
+    def test_train_group_sampler_full_batches(self, synth_root):
+        """TRAIN loaders see GroupSampler semantics (the dataset exposes a
+        uniform ``flag``, matching the reference's _set_group_flag +
+        GroupSampler pairing): every batch is wrap-padded to full size —
+        7 samples / batch 3 -> 3 full batches, nothing dropped."""
         root, _ = synth_root
         ds = CRUWPoseDataset(dict(DATASET=dataset_cfg(root)), "Train.json",
                              split="train")
         loader = BatchLoader(ds, batch_size=3, shuffle=True)
         batches = list(loader)
-        assert len(batches) == 2
+        assert len(loader) == len(batches) == 3
         assert all(b["valid"] == 3 for b in batches)
 
     def test_device_cached_matches_batch_loader(self, synth_root):
@@ -177,7 +181,8 @@ class TestLoader:
             host.set_epoch(epoch)
             dev.set_epoch(epoch)
             hb, db = list(host), list(dev)
-            assert len(hb) == len(db) == 2
+            # GroupSampler-parity stream: 7 samples wrap-pad to 3 full batches
+            assert len(hb) == len(db) == len(host) == len(dev) == 3
             for h, d in zip(hb, db):
                 assert isinstance(d["rdr_tensor"], jax.Array)
                 np.testing.assert_allclose(np.asarray(d["rdr_tensor"]),

@@ -167,8 +167,9 @@ class TestCLI:
 
         # int8 serving path end-to-end: calibrate on val batches, export a
         # quantized artifact, evaluate through it (the accuracy delta vs the
-        # float path is measured on trained checkpoints — see BASELINE.md —
-        # not asserted on this 2-epoch model)
+        # float path is recorded on a trained checkpoint in BASELINE.md's
+        # round-5 serving-variant MPJPE table — not asserted on this
+        # 2-epoch model)
         artifact8 = os.path.join(work_dir, "model_int8.jaxexp")
         r5 = run_tool("export.py", cfg_path, "--checkpoint", work_dir,
                       "--out", artifact8, "--platforms", "cpu",
