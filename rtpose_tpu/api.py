@@ -28,6 +28,9 @@ class Assembly:
     model_cfg: Any = None          # the cfg.model dict the detector was built from
     sensor: str = "radar"          # 'radar' (dense cube) | 'lidar' (voxels)
     voxel_shape: Tuple[int, int, int] = None  # (V, P, F) for the lidar path
+    # test_cfg double_flip: eval consumes the pipeline's {y,x,double_}flip_*
+    # voxel sets (CenterPoint TTA — unflip + average + decode); lidar only
+    tta_double_flip: bool = False
 
     @property
     def input_key(self):
@@ -171,7 +174,9 @@ def assemble(cfg) -> Assembly:
                     input_shape_zyxc=(*grid, c_in),
                     one_hm=(mode == "one_hm"),
                     model_cfg=model_cfg,
-                    sensor=sensor, voxel_shape=voxel_shape)
+                    sensor=sensor, voxel_shape=voxel_shape,
+                    tta_double_flip=(sensor == "lidar"
+                                     and bool(test_cfg.get("double_flip"))))
 
 
 def build_dataset_from_cfg(data_cfg: Dict[str, Any], split: str,

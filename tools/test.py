@@ -144,7 +144,11 @@ def main():
                                    input_key=asm.input_key,
                                    sparse=asm.sparse_head,
                                    preprocess=preprocess,
-                                   multi_poses=asm.multi_poses)
+                                   multi_poses=asm.multi_poses,
+                                   tta_double_flip=asm.tta_double_flip)
+        if asm.tta_double_flip:
+            logger.info("double-flip TTA: averaging 4 unflipped forwards "
+                        "per frame (test_cfg.double_flip)")
     if args.profile:
         profile_dir = os.path.join(work_dir, "profile")
         os.makedirs(profile_dir, exist_ok=True)
