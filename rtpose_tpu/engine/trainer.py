@@ -83,7 +83,8 @@ class Trainer:
                  enable_tensorboard: bool = True,
                  logger=None,
                  default_hooks: bool = True,
-                 fuse_epochs: bool = False):
+                 fuse_epochs: bool = False,
+                 stop_epoch: Optional[int] = None):
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         self.logger = logger or get_root_logger(work_dir=self.work_dir)
@@ -97,6 +98,10 @@ class Trainer:
         self.fuse_epochs = fuse_epochs
         self._epoch_jit = None
         self.total_epochs = total_epochs
+        # early exit WITHOUT shortening the lr schedule (total_epochs still
+        # sizes one-cycle): partial runs whose trajectory is comparable to
+        # the full run's — the 480-frame trajectory gate's mechanism
+        self.stop_epoch = stop_epoch
         self.lr_fn = lr_fn
         self.log_interval = log_interval
         self.checkpoint_interval = checkpoint_interval
@@ -159,12 +164,14 @@ class Trainer:
             f"steps, {self.mesh.devices.size} device(s)")
         prev_handler = self._install_preempt_handler()
         self.call_hook("before_run")
+        stop_at = (self.total_epochs if self.stop_epoch is None
+                   else min(self.stop_epoch, self.total_epochs))
         try:
-            while self.epoch < self.total_epochs:
+            while self.epoch < stop_at:
                 for mode, times in workflow:
                     for _ in range(times):
                         if mode == "train":
-                            if self.epoch >= self.total_epochs:
+                            if self.epoch >= stop_at:
                                 break
                             self.train_epoch(train_loader)
                         elif mode == "val" and val_loader is not None and eval_fn:

@@ -25,6 +25,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--total_epochs", type=int, default=None,
                    help="override cfg.total_epochs")
+    p.add_argument("--stop_epoch", type=int, default=None,
+                   help="stop training after this many epochs WITHOUT "
+                        "shortening the lr schedule (total_epochs still "
+                        "sizes one-cycle) — partial runs comparable to the "
+                        "full run's trajectory (tools/trajectory_gate.py)")
     p.add_argument("--lr_max", type=float, default=None,
                    help="override cfg.lr_config.lr_max (one-cycle peak)")
     p.add_argument("--pct_start", type=float, default=None,
@@ -210,7 +215,8 @@ def main():
         lr_fn=lr_fn, mesh=mesh,
         log_interval=int(dict(cfg.log_config).get("interval", 20)),
         checkpoint_interval=int(dict(cfg.checkpoint_config).get("interval", 5)),
-        meta=dict(config=cfg.text), fuse_epochs=args.fuse_epochs)
+        meta=dict(config=cfg.text), fuse_epochs=args.fuse_epochs,
+        stop_epoch=args.stop_epoch)
     if args.profile:
         from rtpose_tpu.engine import ProfilerHook
         trainer.register_hook(ProfilerHook(num_steps=args.profile))
