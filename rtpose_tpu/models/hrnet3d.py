@@ -267,10 +267,26 @@ class HRNet3D(nn.Module):
                                   folded=folded)(out)
             return out
         if folded:
+            from ..ops import quant as quant_ops
+            from ..ops.interpolate import resize_trilinear_folded_int8
             tz, ty, txf = top.shape[1:4]
-            ups = [resize_trilinear_folded(f.astype(top.dtype),
-                                           (tz, ty, txf * FOLD))
-                   for f in feats[1:]]
+            ups = []
+            for i, f in enumerate(feats[1:]):
+                ff = f.astype(top.dtype)
+                scale = None
+                if quant_ops.current() is not None:
+                    # final-fuse resizes are MXU matmuls over folded lanes —
+                    # int8-eligible like the convs; consult the quant
+                    # context per branch (inline site, like final_conv)
+                    rpath = ("/".join(self.path) + "/" if self.path
+                             else "") + f"final_fuse{i + 1}_resize"
+                    scale = quant_ops.consult(rpath, ff)
+                if scale is not None:
+                    ups.append(resize_trilinear_folded_int8(
+                        ff, (tz, ty, txf * FOLD), scale))
+                else:
+                    ups.append(resize_trilinear_folded(
+                        ff, (tz, ty, txf * FOLD)))
         else:
             ups = [resize_trilinear_align_corners(f.astype(top.dtype),
                                                   top.shape[1:4])

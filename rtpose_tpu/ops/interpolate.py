@@ -74,6 +74,71 @@ def resize_trilinear_folded(xf: jnp.ndarray, size_zyx: tuple[int, int, int],
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _quantized_interp_np(s_in: int, s_out: int):
+    """Per-output-row symmetric int8 quantization of the interp matrix.
+    Rows are nonnegative and sum to 1 (convex combination), so absmax
+    equals the row max and every scale is <= 1/127."""
+    w = _interp_matrix_np(s_in, s_out)
+    absmax = w.max(axis=1)
+    sw = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    wq = np.clip(np.round(w / sw[:, None]), -127, 127).astype(np.int8)
+    return wq, sw
+
+
+def resize_trilinear_folded_int8(xf: jnp.ndarray,
+                                 size_zyx: tuple[int, int, int],
+                                 act_scale: float, fold: int = 4,
+                                 out_dtype=None) -> jnp.ndarray:
+    """Int8 form of :func:`resize_trilinear_folded` (serving path, consulted
+    through the quant context at the HRNet final-fuse call site).
+
+    The resize matmuls run the MXU at its 2x int8 rate: activations are
+    per-tensor symmetric (ONE calibrated scale is valid across all three
+    axis passes — align-corners interpolation is a convex combination, so
+    intermediate absmax never exceeds the input's), interp matrices
+    per-output-row symmetric (rows sum to 1 -> scales <= 1/127).  Max
+    error ~1.5 input quanta (act rounding + weight rounding), bounded by
+    the exactness test in tests/test_quant.py.
+    """
+    B, Z, Y, Xf, Cf = xf.shape
+    C = Cf // fold
+    X = Xf * fold
+    tz, ty, tx = size_zyx
+    assert tx % fold == 0, (tx, fold)
+    out_dtype = out_dtype or xf.dtype
+    inv = 1.0 / act_scale
+
+    def q(v):
+        r = jnp.round(v.astype(jnp.float32) * inv)
+        return jnp.clip(r, -127, 127).astype(jnp.int8)
+
+    out = xf
+    if X != tx:
+        wq, sw = _quantized_interp_np(X, tx)
+        wr = jnp.asarray(wq.reshape(tx // fold, fold, Xf, fold))
+        swr = jnp.asarray(act_scale * sw.reshape(tx // fold, fold))
+        xs = q(out).reshape(B, Z, Y, Xf, fold, C)
+        acc = jnp.einsum("ofig,bzyigc->bzyofc", wr, xs,
+                         preferred_element_type=jnp.int32)
+        out = (acc.astype(jnp.float32)
+               * swr[None, None, None, :, :, None]).reshape(
+                   B, Z, Y, tx // fold, Cf)
+    if Z != tz:
+        wq, sw = _quantized_interp_np(Z, tz)
+        acc = jnp.einsum("oz,bzyxc->boyxc", jnp.asarray(wq), q(out),
+                         preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (
+            act_scale * jnp.asarray(sw))[None, :, None, None, None]
+    if Y != ty:
+        wq, sw = _quantized_interp_np(Y, ty)
+        acc = jnp.einsum("oy,bzyxc->bzoxc", jnp.asarray(wq), q(out),
+                         preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (
+            act_scale * jnp.asarray(sw))[None, None, :, None, None]
+    return out.astype(out_dtype)
+
+
 def resize_trilinear_align_corners(x: jnp.ndarray, size_zyx: tuple[int, int, int]) -> jnp.ndarray:
     """Resize (B, Z, Y, X, C) -> (B, *size_zyx, C), align_corners=True.
 

@@ -107,9 +107,15 @@ def scales_from_calib(batch_maxima) -> Dict[str, float]:
 # Head output convs (SepHead names them "<branch>_out") stay float by
 # default: the hm logits feed a sigmoid+argmax and the reg values are used
 # verbatim in metric space, so their quant error lands 1:1 in the metric,
-# while they carry <2% of the FLOPs.  Entries match by SUFFIX of the final
+# while they carry <2% of the FLOPs.  The final-fuse resize matmuls
+# ("<site>_resize") are also excluded by default — quantizing them is a
+# measured speed/accuracy trade (opt in with INT8_RESIZE_EXCLUDE, e.g.
+# tools/export.py --int8_resize).  Entries match by SUFFIX of the final
 # path component only (QuantState.excluded).
-DEFAULT_EXCLUDE = ("_out",)
+DEFAULT_EXCLUDE = ("_out", "_resize")
+
+# opt-in variant: int8 resizes too (only the head out-convs stay float)
+INT8_RESIZE_EXCLUDE = ("_out",)
 
 
 def calibration_scales(fn, batches, exclude: tuple = DEFAULT_EXCLUDE,

@@ -186,3 +186,62 @@ class TestEndToEnd:
         for a, b in zip(jax.tree.leaves(live), jax.tree.leaves(out)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestInt8Resize:
+    """Int8 trilinear resize (ops/interpolate.resize_trilinear_folded_int8)
+    — the final-fuse resize matmuls join the int8 serving path (VERDICT r4
+    #4: they were the largest unquantized MXU segment)."""
+
+    def test_close_to_float(self):
+        from rtpose_tpu.ops.interpolate import (resize_trilinear_folded,
+                                                resize_trilinear_folded_int8)
+        rng = np.random.default_rng(5)
+        xf = jnp.asarray(rng.normal(size=(2, 4, 8, 5, 4 * 16))
+                         .astype(np.float32))
+        act_scale = float(np.abs(np.asarray(xf)).max()) / 127.0
+        tgt = (8, 16, 40)
+        f32 = resize_trilinear_folded(xf, tgt)
+        q8 = resize_trilinear_folded_int8(xf, tgt, act_scale)
+        assert q8.shape == f32.shape
+        # error bound: ~1 input quantum of activation rounding (convex
+        # combinations cannot amplify it) + <=1/127 relative weight rounding
+        err = np.abs(np.asarray(q8, np.float32) - np.asarray(f32, np.float32))
+        assert err.max() <= 2.5 * act_scale, err.max() / act_scale
+
+    def test_identity_sizes_passthrough_dtype(self):
+        from rtpose_tpu.ops.interpolate import resize_trilinear_folded_int8
+        xf = jnp.ones((1, 2, 2, 2, 8), jnp.bfloat16)
+        out = resize_trilinear_folded_int8(xf, (2, 2, 8), 0.01)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32), 1.0)
+
+    def test_resize_sites_opt_in_dispatch(self, tiny_asm):
+        """The HRNet final-fuse resizes consult the quant context but are
+        EXCLUDED by default (DEFAULT_EXCLUDE `_resize`): the default int8
+        path keeps r4 semantics.  Opting in (INT8_RESIZE_EXCLUDE, the
+        export CLI's --int8_resize) calibrates the resize sites and keeps
+        the backbone FEATURES close to float — end-output error on a
+        random-init model is amplification-dominated, so the ship gate is
+        the measured MPJPE delta on a trained checkpoint (BASELINE.md)."""
+        asm, state = tiny_asm
+        x = _rand((2, *asm.input_shape_zyxc), 11, 0.5) + 0.5
+        default = calibrate_predict(asm, state.params, [x])
+        assert not any(k.endswith("_resize") for k in default), sorted(default)
+
+        scales = calibrate_predict(asm, state.params, [x],
+                                   exclude=quant.INT8_RESIZE_EXCLUDE)
+        resize_keys = [k for k in scales if k.endswith("_resize")]
+        assert len(resize_keys) >= 2, sorted(scales)  # one per lower branch
+
+        feat = jax.jit(lambda p, xx: asm.model.apply(
+            p, xx, method="extract_feat"))(state.params, x)
+
+        def feat_int8(p, xx):
+            with quant.int8_mode(scales, exclude=quant.INT8_RESIZE_EXCLUDE):
+                return jax.jit(lambda pp, xb: asm.model.apply(
+                    pp, xb, method="extract_feat"))(p, xx)
+        feat8 = feat_int8(state.params, x)
+        a = np.asarray(feat, np.float32)
+        b = np.asarray(feat8, np.float32)
+        assert np.abs(a - b).max() / max(1.0, np.abs(a).max()) < 0.15

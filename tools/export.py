@@ -36,6 +36,11 @@ def parse_args():
                         "rate on v5e; head output convs stay float)")
     p.add_argument("--calib_batches", type=int, default=8,
                    help="number of calibration batches for --int8")
+    p.add_argument("--int8_resize", action="store_true",
+                   help="with --int8: ALSO quantize the HRNet final-fuse "
+                        "resize matmuls (2x MXU rate; adds ~1 activation "
+                        "quantum of resize error — measure the MPJPE delta "
+                        "with tools/test.py --exported before shipping)")
     p.add_argument("--calib_split", default="val", choices=("train", "val", "test"),
                    help="dataset split the calibration batches come from")
     p.add_argument("--final_dtype", default=None,
@@ -92,12 +97,16 @@ def main():
     template = create_train_state(asm.model, dummy_opt, asm.example_input())
     state, _ = load_checkpoint(args.checkpoint, template)
 
+    from rtpose_tpu.ops import quant
+    exclude = (quant.INT8_RESIZE_EXCLUDE if args.int8_resize
+               else quant.DEFAULT_EXCLUDE)
     int8_scales = None
     if args.int8:
         from rtpose_tpu.export import calibrate_predict
         batches = collect_calib_batches(cfg, asm, args.batch_size,
                                         args.calib_batches, args.calib_split)
         int8_scales = calibrate_predict(asm, state.params, batches,
+                                        exclude=exclude,
                                         final_dtype=args.final_dtype)
         print(f"int8 calibration: {len(int8_scales)} conv scales from "
               f"{len(batches)} x batch-{args.batch_size} "
@@ -106,6 +115,7 @@ def main():
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     blob = export_predict(asm, state.params, batch_size=args.batch_size,
                           platforms=platforms, int8_scales=int8_scales,
+                          int8_exclude=exclude,
                           final_dtype=args.final_dtype)
     save_exported(args.out, blob)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))

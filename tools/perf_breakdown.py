@@ -80,6 +80,12 @@ def main():
                     help="per-stage breakdown inside the HRNet trunk")
     ap.add_argument("--head", action="store_true",
                     help="hm-tower internals (conv0 / out-conv variants)")
+    ap.add_argument("--int8", action="store_true",
+                    help="ALSO time the inference segments traced under "
+                        "quant.int8_mode (random-cube calibration — "
+                        "throughput is scale-independent), so the whole-"
+                        "model int8 gap vs the per-conv probes is "
+                        "per-segment attributable (VERDICT r4 #4)")
     ap.add_argument("-B", type=int, default=8)
     args_ns = ap.parse_args()
     any_flag = (args_ns.train or args_ns.infer or args_ns.backbone
@@ -261,72 +267,108 @@ def main():
               "out gather C32->8 bf16 (pad probe)", w8)
 
     if do_infer:
-        print("\n== inference segments ==")
-        # 1. backbone (reader -> HRNet -> fused feat, folded)
-        def seg_backbone(xc):
-            feat = model.apply(params, xc, method="extract_feat")
-            s = feat.astype(jnp.float32).sum()
-            return feedback(xc, s), s
-        t_bb = chained_time(seg_backbone, (xb,))
-        gf_bb = issued_flops(
-            lambda p, xx: model.apply(p, xx, method="extract_feat"), params, xb)
-        fmt("backbone(extract_feat)", t_bb, gf_bb / 1e9, B)
+        from contextlib import nullcontext
 
-        # static feat for head segments
-        feat = jax.jit(lambda p, xx: model.apply(p, xx, method="extract_feat")
-                       )(params, xb)
-        feat = jax.block_until_ready(feat)
+        def infer_segments(label, ctx):
+            """Time the inference segments with conv dispatch under ``ctx``
+            (nullcontext = bf16 path, quant.int8_mode = int8 path).  The
+            context is entered around every trace (chained_time compiles
+            inside the call; issued_flops lowers inside too)."""
+            print(f"\n== inference segments ({label}) ==")
 
-        def head_hm(p, f):
-            return model.apply(p, f, method=lambda m, ff: m.head_m(ff, branch="hm")
-                               )[0]["hm"]
+            def timed(name, seg_fn, args, flops_fn=None, flops_args=()):
+                with ctx():
+                    t = chained_time(seg_fn, args)
+                    gf = (issued_flops(flops_fn, *flops_args)
+                          if flops_fn is not None else 0.0)
+                fmt(name, t, gf / 1e9, B)
+                return t
 
-        def seg_hm(f):
-            hm = head_hm(params, f)
-            s = hm.sum()
-            return feedback(f, s), s
-        t_hm = chained_time(seg_hm, (feat,))
-        gf_hm = issued_flops(head_hm, params, feat)
-        fmt("hm tower", t_hm, gf_hm / 1e9, B)
+            # 1. backbone (reader -> HRNet -> fused feat, folded)
+            def seg_backbone(xc):
+                feat = model.apply(params, xc, method="extract_feat")
+                s = feat.astype(jnp.float32).sum()
+                return feedback(xc, s), s
+            t_bb = timed("backbone(extract_feat)", seg_backbone, (xb,),
+                         lambda p, xx: model.apply(p, xx,
+                                                   method="extract_feat"),
+                         (params, xb))
 
-        hm = jax.jit(head_hm)(params, feat)
-        hm = jax.block_until_ready(hm)
-        Z, Y, X, C = hm.shape[1:]
+            # static feat for head segments
+            with ctx():
+                feat = jax.jit(lambda p, xx: model.apply(
+                    p, xx, method="extract_feat"))(params, xb)
+            feat = jax.block_until_ready(feat)
 
-        def seg_argmax(h):
-            flat = jnp.argmax(h.reshape(B, -1, C)[..., 0], axis=1)
-            s = flat.sum().astype(jnp.float32)
-            return feedback(h, s), s
-        t_am = chained_time(seg_argmax, (hm,))
-        fmt("peak argmax", t_am, 0.0, B)
+            def head_hm(p, f):
+                return model.apply(
+                    p, f, method=lambda m, ff: m.head_m(ff, branch="hm")
+                )[0]["hm"]
 
-        flat = jax.jit(lambda h: jnp.argmax(h.reshape(B, -1, C)[..., 0], axis=1))(hm)
-        zc = flat // (Y * X)
-        yc = (flat % (Y * X)) // X
-        xc_ = flat % X
+            def seg_hm(f):
+                hm = head_hm(params, f)
+                s = hm.sum()
+                return feedback(f, s), s
+            t_hm = timed("hm tower", seg_hm, (feat,), head_hm, (params, feat))
 
-        def reg_fn(p, f):
-            return model.apply(
-                p, f, zc, yc, xc_, (Z, Y, X),
-                method=lambda m, ff, a, b2, c2, g: m._reg_patches(ff, a, b2, c2, g))
+            with ctx():
+                hm = jax.jit(head_hm)(params, feat)
+            hm = jax.block_until_ready(hm)
+            Z, Y, X, C = hm.shape[1:]
 
-        def seg_reg(f):
-            r = reg_fn(params, f)
-            s = r.astype(jnp.float32).sum()
-            return feedback(f, s), s
-        t_rg = chained_time(seg_reg, (feat,))
-        gf_rg = issued_flops(reg_fn, params, feat)
-        fmt("sparse reg patches", t_rg, gf_rg / 1e9, B)
+            def seg_argmax(h):
+                flat = jnp.argmax(h.reshape(B, -1, C)[..., 0], axis=1)
+                s = flat.sum().astype(jnp.float32)
+                return feedback(h, s), s
+            t_am = timed("peak argmax", seg_argmax, (hm,))
 
-        def seg_full(xc2):
-            hm2, rp, ind = model.apply(params, xc2, method="predict_sparse")
-            s = hm2.astype(jnp.float32).sum() + rp.astype(jnp.float32).sum()
-            return feedback(xc2, s), s
-        t_full = chained_time(seg_full, (xb,))
-        gf_full = issued_flops(
-            lambda p, xx: model.apply(p, xx, method="predict_sparse"), params, xb)
-        fmt("FULL predict_sparse", t_full, gf_full / 1e9, B)
-        print(f"  sum of segments: {(t_bb + t_hm + t_am + t_rg) * 1e3:.2f} ms")
+            flat = jax.jit(lambda h: jnp.argmax(
+                h.reshape(B, -1, C)[..., 0], axis=1))(hm)
+            zc = flat // (Y * X)
+            yc = (flat % (Y * X)) // X
+            xc_ = flat % X
+
+            def reg_fn(p, f):
+                return model.apply(
+                    p, f, zc, yc, xc_, (Z, Y, X),
+                    method=lambda m, ff, a, b2, c2, g: m._reg_patches(
+                        ff, a, b2, c2, g))
+
+            def seg_reg(f):
+                r = reg_fn(params, f)
+                s = r.astype(jnp.float32).sum()
+                return feedback(f, s), s
+            t_rg = timed("sparse reg patches", seg_reg, (feat,), reg_fn,
+                         (params, feat))
+
+            def seg_full(xc2):
+                hm2, rp, ind = model.apply(params, xc2,
+                                           method="predict_sparse")
+                s = hm2.astype(jnp.float32).sum() + rp.astype(jnp.float32).sum()
+                return feedback(xc2, s), s
+            t_full = timed("FULL predict_sparse", seg_full, (xb,),
+                           lambda p, xx: model.apply(p, xx,
+                                                     method="predict_sparse"),
+                           (params, xb))
+            print(f"  sum of segments: "
+                  f"{(t_bb + t_hm + t_am + t_rg) * 1e3:.2f} ms")
+            return dict(backbone=t_bb, hm=t_hm, argmax=t_am, reg=t_rg,
+                        full=t_full)
+
+        base = infer_segments("bf16", nullcontext)
+        if args_ns.int8:
+            from rtpose_tpu.ops import quant
+            xcal = jax.device_put(
+                rng.random((B, z, y, x, c), np.float32))
+            scales = quant.calibration_scales(
+                lambda b: model.apply(params, b, method="predict_sparse"),
+                [xcal])
+            print(f"# int8: {len(scales)} calibrated conv sites")
+            q8 = infer_segments(
+                "int8", lambda: quant.int8_mode(scales))
+            for k in base:
+                if q8[k] > 0:
+                    print(f"  int8 speedup {k:<10} {base[k] / q8[k]:.2f}x")
 
     if do_train:
         print("\n== train segments ==")
