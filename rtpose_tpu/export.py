@@ -72,14 +72,18 @@ def make_predict_fn(asm, params, preprocess: Optional[tuple] = None,
 
 def calibrate_predict(asm, params, batches, preprocess: Optional[tuple] = None,
                       exclude: tuple = quant.DEFAULT_EXCLUDE,
-                      final_dtype=None) -> dict:
+                      final_dtype=None,
+                      quantile: Optional[float] = None) -> dict:
     """Activation-scale calibration for the int8 predict path: one jitted
     forward per batch over the SAME graph served by :func:`make_predict_fn`.
     ``batches`` yields model inputs (cubes, or voxel sub-dicts for lidar).
+    ``quantile`` switches the per-site statistic from absmax to a clipped
+    quantile of |x| (PTQ outlier defense — see quant.calibrate).
     """
     predict = make_predict_fn(asm, params, preprocess=preprocess,
                               final_dtype=final_dtype)
-    return quant.calibration_scales(predict, batches, exclude=exclude)
+    return quant.calibration_scales(predict, batches, exclude=exclude,
+                                    quantile=quantile)
 
 
 def _input_spec(asm, batch_size: int):

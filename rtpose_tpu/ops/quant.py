@@ -48,10 +48,11 @@ _state = threading.local()
 
 class QuantState:
     def __init__(self, mode: str, scales: Optional[Dict[str, float]] = None,
-                 exclude: tuple = ()):
+                 exclude: tuple = (), quantile: Optional[float] = None):
         self.mode = mode                    # 'calib' | 'int8'
         self.scales = scales or {}          # path -> float (act absmax/127)
         self.exclude = exclude              # leaf-name suffixes left unquantized
+        self.quantile = quantile            # calib: clip statistic (None=absmax)
         self.traced = {}                    # calib: path -> traced absmax
 
     def excluded(self, path: str) -> bool:
@@ -67,12 +68,17 @@ def current() -> Optional[QuantState]:
 
 
 @contextmanager
-def calibrate(exclude: tuple = ()):
+def calibrate(exclude: tuple = (), quantile: Optional[float] = None):
     """Trace a forward inside this context; each conv records a traced
-    absmax of its input into ``state.traced``.  The wrapper function should
-    return ``state.traced`` so the per-batch maxima come out of the jit."""
+    input statistic into ``state.traced``: the absmax (default), or the
+    ``quantile``-th quantile of |x| over a strided subsample.  Quantile
+    clipping is the standard PTQ outlier defense — an absmax blown up by a
+    few activation outliers crushes the useful int8 signal range (measured
+    on the 1920-frame checkpoint: absmax calibration costs 49.7 -> 414.7 mm
+    MPJPE; see BASELINE.md round-5).  The wrapper function should return
+    ``state.traced`` so the per-batch statistics come out of the jit."""
     prev = current()
-    q = QuantState("calib", exclude=exclude)
+    q = QuantState("calib", exclude=exclude, quantile=quantile)
     _state.q = q
     try:
         yield q
@@ -119,18 +125,20 @@ INT8_RESIZE_EXCLUDE = ("_out",)
 
 
 def calibration_scales(fn, batches, exclude: tuple = DEFAULT_EXCLUDE,
-                       extra_args: tuple = ()) -> Dict[str, float]:
+                       extra_args: tuple = (),
+                       quantile: Optional[float] = None) -> Dict[str, float]:
     """Run ``fn(batch, *extra_args)`` under calibration over ``batches`` and
     return activation scales for :func:`int8_mode`.
 
-    ``fn`` must be jit-traceable; each conv's input absmax is recorded as a
-    traced value and returned OUT of the jit, so calibration is one compiled
-    forward per batch (no eager walk).
+    ``fn`` must be jit-traceable; each conv's input statistic (absmax, or
+    the ``quantile``-clipped absmax) is recorded as a traced value and
+    returned OUT of the jit, so calibration is one compiled forward per
+    batch (no eager walk).
     """
     import jax
 
     def wrapped(batch, *a):
-        with calibrate(exclude) as q:
+        with calibrate(exclude, quantile=quantile) as q:
             fn(batch, *a)
             return dict(q.traced)
 
@@ -151,9 +159,15 @@ def consult(path: str, x: jnp.ndarray) -> Optional[float]:
     if q is None or q.excluded(path):
         return None
     if q.mode == "calib":
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        flat = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+        if q.quantile is not None:
+            # strided subsample keeps the traced sort ~O(200k log) per site
+            stride = max(1, flat.shape[0] // 200_000)
+            stat = jnp.quantile(flat[::stride], q.quantile)
+        else:
+            stat = jnp.max(flat)
         prev = q.traced.get(path)
-        q.traced[path] = absmax if prev is None else jnp.maximum(prev, absmax)
+        q.traced[path] = stat if prev is None else jnp.maximum(prev, stat)
         return None
     if q.mode == "int8":
         return q.scales.get(path)

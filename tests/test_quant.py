@@ -245,3 +245,40 @@ class TestInt8Resize:
         a = np.asarray(feat, np.float32)
         b = np.asarray(feat8, np.float32)
         assert np.abs(a - b).max() / max(1.0, np.abs(a).max()) < 0.15
+
+
+class TestQuantileCalibration:
+    """Quantile-clipped calibration (the PTQ outlier defense): scales come
+    from a quantile of |x| instead of absmax, so a few activation outliers
+    cannot crush the useful int8 signal range."""
+
+    def test_quantile_scale_below_absmax(self):
+        conv = TorchConv3d(4, kernel=1, folded=False)
+        x = np.ones((1, 2, 2, 2, 3), np.float32)
+        x[0, 0, 0, 0, 0] = 1000.0                    # one outlier
+        xj = jnp.asarray(x)
+        p = conv.init(jax.random.PRNGKey(0), xj)
+
+        def fwd(b):
+            return conv.apply(p, b)
+
+        absmax = quant.calibration_scales(fwd, [xj], exclude=())
+        clipped = quant.calibration_scales(fwd, [xj], exclude=(),
+                                           quantile=0.9)
+        (k,) = absmax.keys()
+        assert np.isclose(absmax[k], 1000.0 / 127.0, rtol=1e-5)
+        assert clipped[k] < 2.0 / 127.0              # outlier clipped away
+
+    def test_clipped_scales_saturate_not_explode(self):
+        """Activations above the clip saturate at +-127 after quantization
+        (the conv kernel clamps), so clipped calibration changes values
+        only for the outlier tail."""
+        w = _rand((1, 1, 1, 3, 4), 2)
+        x = np.full((1, 2, 2, 2, 3), 0.5, np.float32)
+        x[0, 0, 0, 0, :] = 50.0
+        out = quant.conv3d_int8(jnp.asarray(x), w, None, 1,
+                                act_scale=1.0 / 127.0,  # clip at |x|=1
+                                folded=False, out_dtype=jnp.float32)
+        ref = conv3d_naive(jnp.asarray(np.clip(x, -1.0, 1.0)), w, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=0.05)

@@ -43,6 +43,11 @@ def parse_args():
                         "with tools/test.py --exported before shipping)")
     p.add_argument("--calib_split", default="val", choices=("train", "val", "test"),
                    help="dataset split the calibration batches come from")
+    p.add_argument("--calib_quantile", type=float, default=None,
+                   help="clip activation scales at this quantile of |x| "
+                        "instead of absmax (PTQ outlier defense; e.g. "
+                        "0.999 — measure the MPJPE delta with tools/"
+                        "test.py --exported)")
     p.add_argument("--final_dtype", default=None,
                    choices=("bfloat16", "float32"),
                    help="compute dtype of the head OUTPUT convs in the "
@@ -107,7 +112,8 @@ def main():
                                         args.calib_batches, args.calib_split)
         int8_scales = calibrate_predict(asm, state.params, batches,
                                         exclude=exclude,
-                                        final_dtype=args.final_dtype)
+                                        final_dtype=args.final_dtype,
+                                        quantile=args.calib_quantile)
         print(f"int8 calibration: {len(int8_scales)} conv scales from "
               f"{len(batches)} x batch-{args.batch_size} "
               f"{args.calib_split} batches")
