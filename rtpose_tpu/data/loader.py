@@ -29,18 +29,31 @@ def group_shard_indices(flags, batch_size: int, epoch: int, shuffle: bool,
     """
     flags = np.asarray(flags)
     rng = np.random.default_rng(epoch)
+    groups = np.unique(flags)
     per = batch_size * num_shards
     chunks = []
-    for f in np.unique(flags):
+    for f in groups:
         idx = np.flatnonzero(flags == f)
         if shuffle:
             idx = rng.permutation(idx)
         extra = (-len(idx)) % per
         if extra:
-            idx = np.concatenate([idx, idx[:extra]])
+            # np.resize wraps the group as many times as needed — a group
+            # smaller than ``extra`` (tiny dataset, small flag group) must
+            # still pad to a full multiple of ``per``
+            idx = np.resize(idx, len(idx) + extra)
         chunks.append(idx)
     batches = np.concatenate(chunks).reshape(-1, batch_size)
-    if shuffle:
+    if shuffle and len(groups) > 1:
+        # cross-group batch shuffle: only needed to interleave groups.  With
+        # ONE group (PointCloudDataset's default uniform flag) the in-group
+        # permutation already equals shard_indices' plain permutation, and
+        # skipping this second shuffle keeps the epoch order BIT-IDENTICAL
+        # to the validated flagless trajectories (training-basin selection
+        # is measurably order-sensitive — BASELINE.md's GN knife edge;
+        # round-5 regression: wiring CRUWPoseDataset to the base class gave
+        # every dataset a uniform flag, and the extra reshuffle silently
+        # shifted validated runs into the predict-the-mean basin)
         batches = batches[rng.permutation(len(batches))]
     indices = batches.reshape(-1)
     num_samples = len(indices) // num_shards

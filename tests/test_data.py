@@ -510,6 +510,26 @@ class TestGroupSampling:
             for b in sh.reshape(-1, 2):
                 assert len(set(flags[b])) == 1
 
+    def test_group_smaller_than_batch_pads_by_repetition(self):
+        """A flag group smaller than the padding amount (tiny dataset,
+        group < batch_size) must still pad to a full batch multiple — the
+        single-pass wrap-around ``idx[:extra]`` fell short and crashed the
+        CLI on sub-batch datasets (round-5 CI regression)."""
+        from rtpose_tpu.data.loader import group_shard_indices
+        flags = np.array([0] * 3 + [1] * 2)      # both groups < batch_size
+        idx = group_shard_indices(flags, batch_size=8, epoch=0,
+                                  shuffle=True, num_shards=1, shard_id=0)
+        assert len(idx) == 16 and len(idx) % 8 == 0
+        for b in idx.reshape(-1, 8):
+            assert len(set(flags[b])) == 1, "mixed-flag batch"
+        assert set(idx) == set(range(5))
+        # multi-shard: every shard still gets whole batches
+        shards = [group_shard_indices(flags, 4, epoch=0, shuffle=True,
+                                      num_shards=2, shard_id=s)
+                  for s in range(2)]
+        assert len(shards[0]) == len(shards[1])
+        assert len(shards[0]) % 4 == 0
+
     def test_batchloader_uses_flags(self):
         ds = self.FlaggedDS([0] * 6 + [1] * 6)
         loader = BatchLoader(ds, batch_size=3, shuffle=True, prefetch=0)
@@ -521,6 +541,29 @@ class TestGroupSampling:
             seen += ids
             assert len(set(flags[ids])) == 1
         assert set(seen) == set(range(12))
+
+    def test_uniform_flag_keeps_plain_permutation_order(self):
+        """A UNIFORM flag array (PointCloudDataset's default ``np.ones``)
+        must leave the epoch order bit-identical to a flagless dataset:
+        group batching with one group is semantically the plain sampler,
+        and the extra cross-group batch reshuffle measurably shifted
+        validated training trajectories into the predict-the-mean basin
+        (round-5 regression after CRUWPoseDataset was wired to the base
+        class).  Wrap-padding parity for non-multiples is kept."""
+        from rtpose_tpu.data.loader import group_shard_indices, shard_indices
+        for epoch in (0, 1, 7):
+            plain = shard_indices(480, epoch, True, 1, 0, True)
+            grouped = group_shard_indices(np.ones(480, np.uint8), 8, epoch,
+                                          True, 1, 0)
+            assert np.array_equal(plain, grouped), epoch
+
+        # through the loader: uniform-flag dataset == flagless order
+        flagged = self.FlaggedDS([1] * 12)
+        loader = BatchLoader(flagged, batch_size=3, shuffle=True, prefetch=0)
+        loader.set_epoch(2)
+        expect = shard_indices(12, loader.seed + 2, True, 1, 0, True)
+        got = [m["i"] for b in loader for m in b["meta"]]
+        assert got == list(expect)
 
     def test_unflagged_behavior_unchanged(self):
         """No ``flag`` on the dataset -> the plain epoch-seeded permutation
