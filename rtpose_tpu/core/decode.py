@@ -248,8 +248,11 @@ def post_process_pose(kpts, scores, labels, spec: DecodeSpec, metas=None,
     Threshold semantics: with the one-heatmap head, joints 1..14 are always
     emitted and joint 0 (pelvis) only when its score exceeds the threshold;
     with per-joint heads each joint is emitted only above threshold.  The
-    flagship configs use ``score_threshold=0.0`` with sigmoid scores, so in
-    practice everything is emitted.
+    flagship configs use ``score_threshold=0.0`` with sigmoid scores, which
+    means "no filtering" — made explicit below because a sigmoid CAN return
+    exactly 0.0 (logit < ~-103 underflows f32; observed under badly-scaled
+    int8 quantization), and dropping the pelvis yields a 14-joint
+    prediction that crashes the fixed-15 evaluation protocol.
     """
     import numpy as np
 
@@ -257,12 +260,14 @@ def post_process_pose(kpts, scores, labels, spec: DecodeSpec, metas=None,
     scores = np.asarray(scores)
     labels = np.asarray(labels)
     B, J = scores.shape
+    no_filter = spec.score_threshold <= 0.0
     out = []
     for b in range(B):
         pts = []
         for j in range(J):
             sc = float(scores[b, j])
-            keep = sc > spec.score_threshold or (one_hm and j > 0)
+            keep = (no_filter or sc > spec.score_threshold
+                    or (one_hm and j > 0))
             if keep:
                 pts.append((int(labels[b, j]), float(kpts[b, j, 0]),
                             float(kpts[b, j, 1]), float(kpts[b, j, 2]), sc))

@@ -195,6 +195,24 @@ class TestDecode:
         assert out[0]["keypoints"][3][0] == 3
         assert len(out[0]["keypoints"][0]) == 5
 
+    def test_zero_threshold_keeps_underflowed_pelvis(self):
+        """score_threshold=0.0 means NO filtering: a sigmoid score that
+        underflows to exactly 0.0 (logit < ~-103, seen under badly-scaled
+        int8 quantization) must still emit joint 0 — a 14-joint prediction
+        crashes the fixed-15 evaluation protocol (round-5 regression on the
+        quantile-calibrated int8 artifact)."""
+        kpts = jnp.zeros((1, 15, 3))
+        scores = jnp.full((1, 15), 0.5).at[0, 0].set(0.0)
+        labels = jnp.broadcast_to(jnp.arange(15), (1, 15))
+        out = post_process_pose(kpts, scores, labels, DSPEC, one_hm=True)
+        assert len(out[0]["keypoints"]) == 15
+        assert out[0]["keypoints"][0][0] == 0
+        # a positive threshold still filters (reference semantics)
+        import dataclasses
+        spec_t = dataclasses.replace(DSPEC, score_threshold=0.1)
+        out_t = post_process_pose(kpts, scores, labels, spec_t, one_hm=True)
+        assert len(out_t[0]["keypoints"]) == 14
+
 
 class TestMetrics:
     def test_abs_pjpe(self):

@@ -369,6 +369,21 @@ def main():
             for k in base:
                 if q8[k] > 0:
                     print(f"  int8 speedup {k:<10} {base[k] / q8[k]:.2f}x")
+            # opt-in resize quantization (tools/export.py --int8_resize):
+            # recalibrate with the resize sites included, re-time the
+            # backbone (the only segment containing the final-fuse resizes)
+            scales_r = quant.calibration_scales(
+                lambda b: model.apply(params, b, method="predict_sparse"),
+                [xcal], exclude=quant.INT8_RESIZE_EXCLUDE)
+            print(f"# int8+resize: {len(scales_r)} calibrated sites")
+            q8r = infer_segments(
+                "int8+resize",
+                lambda: quant.int8_mode(scales_r,
+                                        exclude=quant.INT8_RESIZE_EXCLUDE))
+            for k in base:
+                if q8r[k] > 0:
+                    print(f"  int8+resize speedup {k:<10} "
+                          f"{base[k] / q8r[k]:.2f}x")
 
     if do_train:
         print("\n== train segments ==")
